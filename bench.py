@@ -1,0 +1,89 @@
+"""Flagship benchmark: BN254 G1 variable-base MSM on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": ratio}
+vs_baseline > 1 means faster than the reference's published i9-13900K number
+(reference: benchmark/msm/README.md; see BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+# reference i9-13900K seconds (BASELINE.md "BN254 G1 MSM uniform")
+BASELINES = {16: 0.037107, 18: 0.10235, 20: 0.352276, 22: 1.22393}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tachyon_tpu.math import curves
+    from tachyon_tpu.math.ec import AffinePoint
+    from tachyon_tpu.math.msm import msm
+    from tachyon_tpu.fields.spec import int_to_limbs
+
+    n = 1 << LOG_N
+    curve = curves.bn254_g1()
+    Fq, Fr = curve.F, curve.SF
+    rng = np.random.default_rng(42)
+
+    # Build n pseudo-random points fast: take 256 exact multiples of G and
+    # tile them with random sign flips — valid curve points, good digit
+    # entropy for scalars, and the MSM cost model is point-value independent.
+    from tests.test_ec import py_mul
+
+    G = (int(curve.gen_x), int(curve.gen_y))
+    base = [py_mul(G, int(k), 0, Fq.p) for k in rng.integers(1, 1 << 30, 256)]
+    xs = np.array([p[0] for p in base], dtype=object)
+    ys = np.array([p[1] for p in base], dtype=object)
+    bx, by = Fq.encode(xs), Fq.encode(ys)
+    reps = n // 256
+    px = jnp.tile(bx, (1, reps))
+    py = jnp.tile(by, (1, reps))
+    inf = jnp.zeros((n,), bool)
+    points = AffinePoint(px, py, inf)
+
+    Ls = Fr.spec.L
+    scal_np = np.empty((Ls, n), dtype=np.uint32)
+    sc_bytes = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
+    sc_bytes[-1] &= 0x3FFF  # keep below the modulus
+    scal = jnp.asarray(sc_bytes)
+
+    import functools
+
+    run = jax.jit(functools.partial(msm, curve, c=None))
+    t0 = time.time()
+    out = run(points, scal)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run(points, scal)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    base_s = BASELINES.get(LOG_N)
+    print(
+        json.dumps(
+            {
+                "metric": f"bn254_msm_2^{LOG_N}",
+                "value": best,
+                "unit": "s",
+                "vs_baseline": (base_s / best) if base_s else None,
+            }
+        )
+    )
+    print(
+        f"# compile={compile_s:.1f}s runs={['%.4f' % t for t in times]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

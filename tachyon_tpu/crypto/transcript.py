@@ -1,0 +1,155 @@
+"""Halo2-compatible Fiat-Shamir transcripts (host-side, exact).
+
+Analog of the reference's transcript stack
+(reference: tachyon/crypto/transcripts/transcript.h,
+zk/plonk/halo2/blake2b_transcript.h, sha256_transcript.h,
+proof_serializer.h, prime_field_conversion.h FromUint512).
+
+Bit-compatible semantics:
+  * Blake2b-512 with personalization "Halo2-Transcript";
+  * domain prefixes: 0 = challenge squeeze, 1 = point, 2 = scalar;
+  * points absorbed as x||y little-endian (infinity -> (0, 5));
+  * challenge = (64 squeezed bytes as little-endian u512) mod r;
+  * proof serialization: scalars raw LE; G1 points 32-byte compressed with
+    the PSE ("legacy", 1 flag bit) or new (2 flag bit) layout.
+
+Transcripts are host logic (sequential hashing); all values cross the
+device boundary as python ints.
+"""
+from __future__ import annotations
+
+import hashlib
+
+from tachyon_tpu.fields.spec import FieldSpec
+
+
+class Blake2bTranscript:
+    """Writer/reader core: hash state + challenge derivation."""
+
+    PREFIX_CHALLENGE = b"\x00"
+    PREFIX_POINT = b"\x01"
+    PREFIX_SCALAR = b"\x02"
+
+    def __init__(self, scalar_spec: FieldSpec, base_spec: FieldSpec):
+        self.r = scalar_spec.p
+        self.q = base_spec.p
+        self.n_base_bytes = (base_spec.bits + 63) // 64 * 8
+        self.n_scalar_bytes = (scalar_spec.bits + 63) // 64 * 8
+        self._h = hashlib.blake2b(digest_size=64, person=b"Halo2-Transcript")
+
+    # --- absorbing --------------------------------------------------------
+    def common_point(self, point: tuple | None):
+        """point: (x, y) ints or None for infinity."""
+        self._h.update(self.PREFIX_POINT)
+        if point is None:
+            x, y = 0, 5
+        else:
+            x, y = point
+        self._h.update(int(x).to_bytes(self.n_base_bytes, "little"))
+        self._h.update(int(y).to_bytes(self.n_base_bytes, "little"))
+
+    def common_scalar(self, scalar: int):
+        self._h.update(self.PREFIX_SCALAR)
+        self._h.update((int(scalar) % self.r).to_bytes(self.n_scalar_bytes, "little"))
+
+    # --- squeezing ----------------------------------------------------------
+    def squeeze_challenge(self) -> int:
+        self._h.update(self.PREFIX_CHALLENGE)
+        digest = self._h.copy().digest()
+        return int.from_bytes(digest, "little") % self.r
+
+
+def compress_g1(point: tuple | None, base_spec: FieldSpec, legacy: bool = True) -> bytes:
+    """32-byte halo2 G1 compression (reference: proof_serializer.h)."""
+    nb = (base_spec.bits + 63) // 64 * 8
+    if point is None:
+        if legacy:
+            return (0).to_bytes(nb, "little")
+        return (1 << (nb * 8 - 1)).to_bytes(nb, "little")
+    x, y = point
+    b = bytearray(int(x).to_bytes(nb, "little"))
+    if legacy:
+        if y & 1:
+            b[-1] |= 0x80
+    else:
+        if y & 1:
+            b[-1] |= 0x40
+    return bytes(b)
+
+
+def decompress_g1(data: bytes, base_spec: FieldSpec, b_coeff: int, legacy: bool = True):
+    """inverse of compress_g1; returns (x, y) or None. b_coeff: curve b."""
+    q = base_spec.p
+    b = bytearray(data)
+    if legacy:
+        is_odd = b[-1] >> 7
+        b[-1] &= 0x7F
+        x = int.from_bytes(bytes(b), "little")
+        if x == 0:
+            return None
+    else:
+        is_inf = b[-1] >> 7
+        is_odd = (b[-1] >> 6) & 1
+        b[-1] &= 0x3F
+        x = int.from_bytes(bytes(b), "little")
+        if x == 0 and is_inf:
+            return None
+    rhs = (x * x * x + b_coeff) % q
+    y = pow(rhs, (q + 1) // 4, q)  # q % 4 == 3 for bn254
+    if (y * y) % q != rhs:
+        raise ValueError("not on curve")
+    if (y & 1) != is_odd:
+        y = q - y
+    return (x, y)
+
+
+class TranscriptWriter(Blake2bTranscript):
+    """Prover-side: absorbs and appends to the proof byte buffer."""
+
+    def __init__(self, scalar_spec: FieldSpec, base_spec: FieldSpec, legacy=True):
+        super().__init__(scalar_spec, base_spec)
+        self.proof = bytearray()
+        self.legacy = legacy
+
+    def write_point(self, point: tuple | None):
+        self.common_point(point)
+        self.proof += compress_g1(point, FieldSpecShim(self.q), self.legacy)
+
+    def write_scalar(self, scalar: int):
+        self.common_scalar(scalar)
+        self.proof += (int(scalar) % self.r).to_bytes(self.n_scalar_bytes, "little")
+
+
+class TranscriptReader(Blake2bTranscript):
+    """Verifier-side: reads the proof buffer and absorbs."""
+
+    def __init__(self, proof: bytes, scalar_spec: FieldSpec, base_spec: FieldSpec,
+                 b_coeff: int = 3, legacy=True):
+        super().__init__(scalar_spec, base_spec)
+        self.buf = memoryview(bytes(proof))
+        self.off = 0
+        self.legacy = legacy
+        self.b_coeff = b_coeff
+
+    def read_point(self):
+        nb = self.n_base_bytes
+        data = bytes(self.buf[self.off : self.off + nb])
+        self.off += nb
+        pt = decompress_g1(data, FieldSpecShim(self.q), self.b_coeff, self.legacy)
+        self.common_point(pt)
+        return pt
+
+    def read_scalar(self) -> int:
+        nb = self.n_scalar_bytes
+        v = int.from_bytes(bytes(self.buf[self.off : self.off + nb]), "little")
+        self.off += nb
+        self.common_scalar(v)
+        return v
+
+
+class FieldSpecShim:
+    """minimal duck-type for compress/decompress helpers."""
+
+    def __init__(self, p: int):
+        self.p = p
+        self.bits = p.bit_length()

@@ -50,6 +50,14 @@ class SWCurve:
         self.gen_y = gen_y
         self.SF = scalar_field  # PrimeField of the scalar group order
         self._a_is_zero = self._is_zero_const(a)
+        # fused Pallas point kernels apply to a=0 prime-field curves on TPU
+        import os
+
+        self._pallas_ok = (
+            self._a_is_zero
+            and hasattr(field, "spec")
+            and os.environ.get("TACHYON_PALLAS", "1") != "0"
+        )
 
     @staticmethod
     def _is_zero_const(v) -> bool:
@@ -134,6 +142,60 @@ class SWCurve:
 
     # --- xyzz group law -------------------------------------------------------
     def dbl_xyzz(self, p: PointXYZZ) -> PointXYZZ:
+        if self._pallas_ok:
+            from tachyon_tpu.ops import pallas_ec
+
+            def tpu_fn(px, py, pzz, pzzz):
+                return PointXYZZ(
+                    *pallas_ec.dbl_xyzz(self.F.spec, (px, py, pzz, pzzz))
+                )
+
+            return jax.lax.platform_dependent(
+                p.x, p.y, p.zz, p.zzz,
+                tpu=tpu_fn,
+                default=lambda *c: self._dbl_xyzz_jnp(PointXYZZ(*c)),
+            )
+        return self._dbl_xyzz_jnp(p)
+
+    def add_xyzz(self, p: PointXYZZ, q: PointXYZZ) -> PointXYZZ:
+        if self._pallas_ok:
+            from tachyon_tpu.ops import pallas_ec
+
+            def tpu_fn(*c):
+                return PointXYZZ(
+                    *pallas_ec.add_xyzz(self.F.spec, c[:4], c[4:])
+                )
+
+            return jax.lax.platform_dependent(
+                p.x, p.y, p.zz, p.zzz, q.x, q.y, q.zz, q.zzz,
+                tpu=tpu_fn,
+                default=lambda *c: self._add_xyzz_jnp(
+                    PointXYZZ(*c[:4]), PointXYZZ(*c[4:])
+                ),
+            )
+        return self._add_xyzz_jnp(p, q)
+
+    def madd_xyzz(self, p: PointXYZZ, q: AffinePoint) -> PointXYZZ:
+        if self._pallas_ok:
+            from tachyon_tpu.ops import pallas_ec
+
+            def tpu_fn(px, py, pzz, pzzz, qx, qy, qinf):
+                return PointXYZZ(
+                    *pallas_ec.madd_xyzz(
+                        self.F.spec, (px, py, pzz, pzzz), qx, qy, qinf
+                    )
+                )
+
+            return jax.lax.platform_dependent(
+                p.x, p.y, p.zz, p.zzz, q.x, q.y, q.inf,
+                tpu=tpu_fn,
+                default=lambda *c: self._madd_xyzz_jnp(
+                    PointXYZZ(*c[:4]), AffinePoint(*c[4:])
+                ),
+            )
+        return self._madd_xyzz_jnp(p, q)
+
+    def _dbl_xyzz_jnp(self, p: PointXYZZ) -> PointXYZZ:
         """dbl-2008-s-1; infinity propagates automatically (zz=0)."""
         F = self.F
         u = F.double(p.y)
@@ -149,7 +211,7 @@ class SWCurve:
         zzz3 = F.mul(w, p.zzz)
         return PointXYZZ(x3, y3, zz3, zzz3)
 
-    def add_xyzz(self, p: PointXYZZ, q: PointXYZZ) -> PointXYZZ:
+    def _add_xyzz_jnp(self, p: PointXYZZ, q: PointXYZZ) -> PointXYZZ:
         """add-2008-s with complete select-based case handling."""
         F = self.F
         u1 = F.mul(p.x, q.zz)
@@ -169,7 +231,7 @@ class SWCurve:
         zzz3 = F.mul(F.mul(p.zzz, q.zzz), ppp)
         out = PointXYZZ(x3, y3, zz3, zzz3)
 
-        dbl = self.dbl_xyzz(p)
+        dbl = self._dbl_xyzz_jnp(p)
         p_inf = F.is_zero(p.zz)
         q_inf = F.is_zero(q.zz)
         # dispatch: p inf -> q ; q inf -> p ; same point -> dbl ;
@@ -205,7 +267,7 @@ class SWCurve:
         )
         return out
 
-    def madd_xyzz(self, p: PointXYZZ, q: AffinePoint) -> PointXYZZ:
+    def _madd_xyzz_jnp(self, p: PointXYZZ, q: AffinePoint) -> PointXYZZ:
         """madd-2008-s (mixed add, q affine) with complete case handling."""
         F = self.F
         u2 = F.mul(q.x, p.zz)
@@ -222,7 +284,7 @@ class SWCurve:
         zz3 = F.mul(p.zz, pp2)
         zzz3 = F.mul(p.zzz, ppp)
 
-        dbl = self.dbl_xyzz(p)
+        dbl = self._dbl_xyzz_jnp(p)
         p_inf = F.is_zero(p.zz)
         q_inf = q.inf
         q_xyzz = self.to_xyzz(q)

@@ -46,7 +46,7 @@ class ExtField:
     def _nr(self, like):
         """non-residue broadcast against an element's base-coeff batch."""
         nr = self.non_residue
-        extra = like.ndim - 1 - nr.ndim
+        extra = like.ndim - nr.ndim
         return nr.reshape(nr.shape + (1,) * extra) if extra > 0 else nr
 
     def _coeffs(self, a):
@@ -193,17 +193,23 @@ class ExtField:
         return base_order**self.D
 
     def pow_const(self, a, e: int):
+        """a ** e via lax.scan over the exponent bits (one square + one mul
+        compiled regardless of exponent size)."""
+        import jax
+
         if e == 0:
             return self.ones(a.shape[self.coeff_ndim:])
-        acc = None
-        base = a
-        # simple LTR ladder on host bits: ext pow is used on small arrays only
-        bits = bin(e)[2:]
-        acc = a
-        for bit in bits[1:]:
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            [(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.uint32
+        )
+
+        def body(acc, bit):
             acc = self.square(acc)
-            if bit == "1":
-                acc = self.mul(acc, base)
+            acc = self.select(bit.astype(jnp.bool_), self.mul(acc, a), acc)
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, self.ones(a.shape[self.coeff_ndim:]), bits)
         return acc
 
     def batch_inverse(self, a, axis=-1):

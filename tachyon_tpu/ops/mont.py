@@ -18,6 +18,8 @@ Bound analysis for `mul` (lazy-column SOS Montgomery):
 """
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -176,13 +178,33 @@ def _colsums(L: int, lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
     return g_lo.sum(axis=0) + g_hi.sum(axis=0)  # (W, *batch)
 
 
-def mul(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product: mont(a) * mont(b) -> mont(a*b)."""
+def _mul_jnp(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     L = f.L
-    a, b = jnp.broadcast_arrays(a, b)
     prod = a[:, None] * b[None, :]  # (L, L, *batch), exact: 16b x 16b
     cols = _colsums(L, prod & MASK, prod >> LIMB_BITS)
     return _mont_reduce_cols(f, cols)
+
+
+_PALLAS_ENABLED = os.environ.get("TACHYON_PALLAS", "1") != "0"
+
+
+def mul(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product: mont(a) * mont(b) -> mont(a*b).
+
+    On TPU this lowers to a single Pallas kernel (ops/pallas_mont.py); the
+    portable jnp limb program is used elsewhere (selected per lowering
+    platform, so cpu-mesh shard_map regions inside a tpu process work)."""
+    a, b = jnp.broadcast_arrays(a, b)
+    if not _PALLAS_ENABLED:
+        return _mul_jnp(f, a, b)
+    from tachyon_tpu.ops import pallas_mont
+
+    return jax.lax.platform_dependent(
+        a,
+        b,
+        tpu=partial(pallas_mont.mul, f),
+        default=partial(_mul_jnp, f),
+    )
 
 
 def square(f: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

@@ -1,9 +1,13 @@
-"""Test config: run on CPU with 8 virtual devices so sharding tests work
-without TPU hardware (mirrors the driver's dryrun_multichip environment).
+"""Test config.
 
-Note: JAX_PLATFORMS env alone is ignored when the axon TPU plugin is
-present, so we force the platform via jax.config before anything else
-touches jax. A persistent compilation cache keeps reruns fast.
+* Default platform: whatever is available (TPU when present — this box has
+  one CPU core, so XLA:CPU compiles of the big kernel graphs are far slower
+  than the tunneled TPU path; numeric tests prefer the accelerator).
+* The cpu platform always exposes 8 virtual devices so multi-chip sharding
+  tests (tests/test_parallel.py) run anywhere, mirroring the driver's
+  dryrun_multichip environment.
+* A persistent compilation cache keeps reruns fast.
+* Set TACHYON_TEST_CPU=1 to force everything onto cpu.
 """
 import os
 
@@ -15,7 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("TACHYON_TEST_CPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -27,3 +32,10 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    assert len(devs) >= 8
+    return devs
