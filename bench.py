@@ -19,6 +19,10 @@ BASELINES = {16: 0.037107, 18: 0.10235, 20: 0.352276, 22: 1.22393}
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from tachyon_tpu.math import curves
@@ -48,7 +52,6 @@ def main():
     points = AffinePoint(px, py, inf)
 
     Ls = Fr.spec.L
-    scal_np = np.empty((Ls, n), dtype=np.uint32)
     sc_bytes = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
     sc_bytes[-1] &= 0x3FFF  # keep below the modulus
     scal = jnp.asarray(sc_bytes)

@@ -1,0 +1,51 @@
+"""Shared benchmark harness (analog of the reference's benchmark/ layer:
+*_config.cc flag parsing + *_runner.h timing + simple_reporter.cc tables;
+reference: benchmark/msm/msm_benchmark.cc etc.).
+
+Every benchmark times a jitted callable after one warmup/compile run and
+prints one JSON line per (kernel, size):
+  {"metric": ..., "value": best_seconds, "unit": "s", "vs_baseline": x}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return jax
+
+
+def time_fn(fn, *args, iters: int = 3):
+    """(compile_seconds, best_run_seconds)"""
+    import jax
+
+    t0 = time.time()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+    return compile_s, best
+
+
+def report(metric: str, seconds: float, baseline: float | None,
+           compile_s: float | None = None):
+    print(json.dumps({
+        "metric": metric,
+        "value": seconds,
+        "unit": "s",
+        "vs_baseline": (baseline / seconds) if baseline else None,
+    }))
+    if compile_s is not None:
+        print(f"# {metric}: compile={compile_s:.1f}s", file=sys.stderr)

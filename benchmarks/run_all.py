@@ -1,0 +1,16 @@
+"""Run every per-kernel benchmark sequentially (analog of the reference's
+benchmark/ binaries; see each bench_* module for its baseline source).
+
+    python -m benchmarks.run_all            # default sizes
+    BENCH_LOG_N=20 python -m benchmarks.run_all
+"""
+from benchmarks import bench_fri, bench_ntt, bench_poseidon2
+
+
+def main():
+    for mod in (bench_ntt, bench_poseidon2, bench_fri):
+        mod.main()
+
+
+if __name__ == "__main__":
+    main()

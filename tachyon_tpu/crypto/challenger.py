@@ -24,17 +24,13 @@ class DuplexChallenger:
         self._state = [0] * perm.t  # python ints (canonical field values)
         self._inputs: list[int] = []
         self._outputs: list[int] = []
-        self._permute_jit = jax.jit(perm.permute)
 
     # --- core ---------------------------------------------------------------
     def _duplex(self):
         for i, v in enumerate(self._inputs):
             self._state[i] = v % self.F.p
         self._inputs.clear()
-        st = self.F.encode(np.array(self._state, dtype=object))[:, :, None]
-        out = self._permute_jit(st)
-        vals = self.F.decode(out[:, :, 0])
-        self._state = [int(v) for v in vals]
+        self._state = self.perm.permute_host(self._state)
         self._outputs = list(self._state)
 
     def observe(self, value: int):
@@ -91,5 +87,112 @@ class DuplexChallenger:
         c._state = list(self._state)
         c._inputs = list(self._inputs)
         c._outputs = list(self._outputs)
-        c._permute_jit = self._permute_jit
         return c
+
+
+class MultiField32Challenger:
+    """Challenger over a big permutation (e.g. BN254 Poseidon2) producing
+    32-bit field challenges (reference: multi_field32_challenger.h,
+    multi_field32_conversions.h Reduce/Split).  Used for recursive STARK
+    verification inside SNARKs.
+
+    small_p: small field modulus (<= 32 bits); perm: big-field Poseidon2.
+    """
+
+    def __init__(self, perm: Poseidon2, small_p: int):
+        self.perm = perm
+        self.small_p = small_p
+        self.big_p = perm.F.p
+        self.num_f = perm.F.spec.bits // 64  # 64-bit digits per big element
+        self.R = self.num_f * perm.t
+        self._state = [0] * perm.t
+        self._inputs: list[int] = []
+        self._outputs: list[int] = []
+
+    def _duplex(self):
+        n = self.num_f
+        for i in range((len(self._inputs) + n - 1) // n):
+            group = self._inputs[i * n : (i + 1) * n]
+            # pack 32-bit values into the big field little-endian
+            v = sum(int(x) << (32 * j) for j, x in enumerate(group))
+            self._state[i] = v % self.big_p
+        self._inputs.clear()
+        self._state = self.perm.permute_host(self._state)
+        self._outputs = []
+        for s in self._state:
+            for j in range(n):
+                digit = (s >> (64 * j)) & ((1 << 64) - 1)
+                self._outputs.append(digit % self.small_p)
+
+    def observe(self, value: int):
+        self._outputs.clear()
+        self._inputs.append(int(value) % self.small_p)
+        if len(self._inputs) == self.R:
+            self._duplex()
+
+    def observe_many(self, values):
+        for v in values:
+            self.observe(v)
+
+    def sample(self) -> int:
+        if self._inputs or not self._outputs:
+            self._duplex()
+        return self._outputs.pop()
+
+    def sample_array(self, n: int) -> list[int]:
+        return [self.sample() for _ in range(n)]
+
+    def sample_ext(self, degree: int) -> list[int]:
+        return self.sample_array(degree)
+
+    def sample_bits(self, bits: int) -> int:
+        return self.sample() & ((1 << bits) - 1)
+
+    def check_witness(self, bits: int, witness: int) -> bool:
+        self.observe(witness)
+        return self.sample_bits(bits) == 0
+
+
+class HashChallenger:
+    """Hash-based challenger (reference: hash_challenger.h): sample flushes
+    input through a padding-free sponge hash; the output seeds the next
+    input buffer."""
+
+    def __init__(self, perm: Poseidon2, out_len: int = 8,
+                 rate: int | None = None):
+        self.perm = perm
+        self.F = perm.F
+        self.out_len = out_len
+        self.rate = rate if rate is not None else (
+            8 if perm.t == 16 else perm.t - 1
+        )
+        self._inputs: list[int] = []
+        self._outputs: list[int] = []
+
+    def _hash_host(self, values: list[int]) -> list[int]:
+        """PaddingFreeSponge on host ints (overwrite-mode absorb)."""
+        p, t, rate = self.F.p, self.perm.t, self.rate
+        st = [0] * t
+        for off in range(0, len(values), rate):
+            chunk = values[off : off + rate]
+            st[: len(chunk)] = [int(v) % p for v in chunk]
+            st = self.perm.permute_host(st)
+        return st[: self.out_len]
+
+    def observe(self, value: int):
+        self._outputs.clear()
+        self._inputs.append(int(value) % self.F.p)
+
+    def observe_many(self, values):
+        for v in values:
+            self.observe(v)
+
+    def sample(self) -> int:
+        if not self._outputs:
+            out = self._hash_host(self._inputs)
+            self._outputs = list(out)
+            self._inputs = list(out)
+        return self._outputs.pop()
+
+    def sample_array(self, n: int) -> list[int]:
+        return [self.sample() for _ in range(n)]

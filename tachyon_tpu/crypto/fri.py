@@ -71,19 +71,26 @@ def ext_tree_sum(ext: ExtField, arr: jnp.ndarray) -> jnp.ndarray:
 
 
 class CommitData(NamedTuple):
-    tree: merkle.FieldMerkleTree
+    trees: tuple  # one FieldMerkleTree per LDE height (descending)
+    tree_heights: tuple  # LDE height per tree
+    tree_members: tuple  # per tree: original matrix indices
     ldes: tuple  # (L, h, C) natural-order LDE evals per matrix
     coeffs: tuple  # (L, n, C) coefficient form per matrix
     heights: tuple  # original heights n
 
+    def roots(self):
+        return tuple(t.root() for t in self.trees)
+
 
 class FRIProof(NamedTuple):
-    opened_values: tuple  # per matrix: (D, L, C) ext evals at z
+    # per round -> per matrix -> per point: (D, L, C) ext evals
+    opened_values: tuple
     fold_roots: tuple  # (L, DIGEST) per fold layer
     final_poly: jnp.ndarray  # (D, L) constant
     pow_witness: int
     query_indices: tuple
-    query_input_proofs: tuple  # per query: MerkleProof of input tree
+    # per query -> per round -> per tree: MerkleProof
+    query_input_proofs: tuple
     query_fold_proofs: tuple  # per query: tuple of per-layer MerkleProof
 
 
@@ -106,8 +113,15 @@ class TwoAdicFRIPCS:
             self._dom_cache[n] = Radix2Domain(self.F, n)
         return self._dom_cache[n]
 
-    def _shift_for_height(self, lde_h: int, max_h: int) -> int:
-        k = max_h.bit_length() - lde_h.bit_length()
+    def _shift_for_height(self, lde_h: int, max_h: int = 0) -> int:
+        """Coset shift for a height-h LDE: g^(2^(two_adicity - log2 h)).
+
+        Anchored to the field's two-adicity (not the per-commit max height)
+        so the chain shift(h/2) = shift(h)^2 holds across independent
+        commits — multi-round opens mix matrices from different commit
+        calls into one fold chain.  max_h is accepted and ignored.
+        """
+        k = self.F.spec.two_adicity - (lde_h.bit_length() - 1)
         return pow(self.F.spec.generator, 1 << k, self.F.p)
 
     # ------------------------------------------------------------------ commit
@@ -125,9 +139,21 @@ class TwoAdicFRIPCS:
             pad = jnp.zeros((cf.shape[0], (n << blow) - n) + cf.shape[2:], cf.dtype)
             shift = self._shift_for_height(n << blow, max_h)
             ldes.append(big.coset_fft(jnp.concatenate([cf, pad], axis=1), shift))
-        tree = merkle.build(self.h, ldes)
+        # one tree per height: the natural-order fold chain consumes row
+        # q mod h for a height-h matrix, which a single mixed tree cannot
+        # bind (it forces q >> diff); separate trees restore consistency.
+        by_h: dict[int, list[int]] = {}
+        for i, l in enumerate(ldes):
+            by_h.setdefault(l.shape[1], []).append(i)
+        trees, tree_hs, tree_members = [], [], []
+        for hgt in sorted(by_h, reverse=True):
+            idxs = by_h[hgt]
+            trees.append(merkle.build(self.h, [ldes[i] for i in idxs]))
+            tree_hs.append(hgt)
+            tree_members.append(tuple(idxs))
         return CommitData(
-            tree, tuple(ldes), tuple(coeffs), tuple(m.shape[1] for m in matrices)
+            tuple(trees), tuple(tree_hs), tuple(tree_members),
+            tuple(ldes), tuple(coeffs), tuple(m.shape[1] for m in matrices)
         )
 
     # -------------------------------------------------------------------- open
@@ -155,57 +181,102 @@ class TwoAdicFRIPCS:
         z_int: list[int],
         challenger: DuplexChallenger,
     ) -> FRIProof:
-        """Open every matrix at one ext point z (list of D coeff ints)."""
+        """Single-round sugar: open every matrix at one ext point z."""
+        points = [[z_int]] * len(data.ldes)
+        return self.open_rounds([(data, points)], challenger)
+
+    def open_rounds(
+        self,
+        rounds: Sequence[tuple],
+        challenger: DuplexChallenger,
+    ) -> FRIProof:
+        """Plonky3-style multi-round open (reference: two_adic_fri.h
+        CreateOpeningProof over Vec<(ProverData, Vec<Vec<Point>>)>).
+
+        rounds: list of (CommitData, points) where points[m] is the list of
+        ext points (each a list of D coeff ints) to open matrix m at.
+        """
         F, ext, cfg = self.F, self.ext, self.cfg
         D = ext.D
-        z = ext.encode([np.array(c, dtype=object) for c in z_int])  # (D, L)
 
-        # 1. out-of-domain evaluations
-        opened = tuple(self._eval_at_ext(cf, z) for cf in data.coeffs)
-        for ov in opened:
-            for c in range(ov.shape[-1]):
-                for d in range(D):
-                    challenger.observe(int(F.decode(ov[d, :, c])))
+        # 0. bind the input commitments (round order)
+        for data, _pts in rounds:
+            for t in data.trees:
+                root = np.asarray(t.root())  # one device->host transfer
+                for i in range(merkle.DIGEST):
+                    challenger.observe(int(F.decode(root[:, i])))
+
+        # 1. out-of-domain evaluations: per round/matrix/point
+        opened = []
+        z_enc: dict[tuple, jnp.ndarray] = {}
+        for data, pts in rounds:
+            r_open = []
+            for m_idx, cf in enumerate(data.coeffs):
+                m_open = []
+                for z_int in pts[m_idx]:
+                    key = tuple(z_int)
+                    if key not in z_enc:
+                        z_enc[key] = ext.encode(
+                            [np.array(c, dtype=object) for c in z_int]
+                        )
+                    ov = self._eval_at_ext(cf, z_enc[key])
+                    m_open.append(ov)
+                    ov_h = np.asarray(ov)  # one transfer for the whole block
+                    for c in range(ov_h.shape[-1]):
+                        for d in range(D):
+                            challenger.observe(int(F.decode(ov_h[d, :, c])))
+                r_open.append(tuple(m_open))
+            opened.append(tuple(r_open))
+        opened = tuple(opened)
 
         alpha_int = challenger.sample_ext(D)
         alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
 
-        # 2. reduced openings per LDE height: ro = sum_j a^j (M_j - y_j)/(x-z)
+        # 2. reduced openings per LDE height:
+        #    ro = sum_{(matrix, point, col)} a^k (M_col - y)/(x - z)
         blow = cfg.log_blowup
-        max_h = max(data.heights) << blow
+        max_h = max(
+            m.shape[1] for data, _ in rounds for m in data.ldes
+        )
         ro_by_height: dict[int, jnp.ndarray] = {}
         a_pow_offset = 0
-        for m_idx, lde in enumerate(data.ldes):
-            h = lde.shape[1]
-            C = lde.shape[2]
-            shift = self._shift_for_height(h, max_h)
-            dom = self._domain(h)
-            xs = dom.shift_powers(shift, h)  # (L, h) base points g_k * w^j
-            x_ext = ext.embed(xs)  # (D, L, h)
-            denom = ext.sub(x_ext, z[..., None])
-            inv_denom = ext.batch_inverse(denom, axis=-1)  # (D, L, h)
-            # numerator: sum_j alpha^{off+j} (col_j - y_j)  over columns
-            apows = ext_powers(ext, alpha, a_pow_offset + C)[..., a_pow_offset:]
-            y = opened[m_idx]  # (D, L, C)
-            cols = ext.embed(lde)  # (D, L, h, C)
-            diff = ext.sub(cols, y[:, :, None, :])
-            weighted = ext.mul(diff, apows[:, :, None, :])
-            num = weighted
-            # tree-sum over columns C
-            mC = 1 << max(C - 1, 0).bit_length()
-            if mC != C:
-                pad = jnp.zeros(num.shape[:3] + (mC - C,), num.dtype)
-                num = jnp.concatenate([num, pad], axis=3)
-            while mC > 1:
-                half = mC // 2
-                num = ext.add(num[..., :half], num[..., half:])
-                mC = half
-            ro = ext.mul(num[..., 0], inv_denom)  # (D, L, h)
-            if h in ro_by_height:
-                ro_by_height[h] = ext.add(ro_by_height[h], ro)
-            else:
-                ro_by_height[h] = ro
-            a_pow_offset += C
+        for r_idx, (data, pts) in enumerate(rounds):
+            for m_idx, lde in enumerate(data.ldes):
+                h = lde.shape[1]
+                C = lde.shape[2]
+                shift = self._shift_for_height(h, max_h)
+                dom = self._domain(h)
+                # coset points x_j = shift * w^j
+                wp = dom.shift_powers(dom.omega_int, h)  # (L, h): w^j
+                sc = F.encode(np.array(shift, dtype=object))
+                xs = F.mul(wp, sc[:, None])
+                x_ext = ext.embed(xs)  # (D, L, h)
+                cols = ext.embed(lde)  # (D, L, h, C)
+                for pt_idx, z_int in enumerate(pts[m_idx]):
+                    z = z_enc[tuple(z_int)]
+                    denom = ext.sub(x_ext, z[..., None])
+                    inv_denom = ext.batch_inverse(denom, axis=-1)  # (D, L, h)
+                    apows = ext_powers(ext, alpha, a_pow_offset + C)[
+                        ..., a_pow_offset:
+                    ]
+                    y = opened[r_idx][m_idx][pt_idx]  # (D, L, C)
+                    diff = ext.sub(cols, y[:, :, None, :])
+                    num = ext.mul(diff, apows[:, :, None, :])
+                    # tree-sum over columns C
+                    mC = 1 << max(C - 1, 0).bit_length()
+                    if mC != C:
+                        pad = jnp.zeros(num.shape[:3] + (mC - C,), num.dtype)
+                        num = jnp.concatenate([num, pad], axis=3)
+                    while mC > 1:
+                        half = mC // 2
+                        num = ext.add(num[..., :half], num[..., half:])
+                        mC = half
+                    ro = ext.mul(num[..., 0], inv_denom)  # (D, L, h)
+                    if h in ro_by_height:
+                        ro_by_height[h] = ext.add(ro_by_height[h], ro)
+                    else:
+                        ro_by_height[h] = ro
+                    a_pow_offset += C
 
         # 3. commit phase: fold from max height down to 2^log_blowup
         cur = ro_by_height.pop(max_h)
@@ -229,7 +300,7 @@ class TwoAdicFRIPCS:
             )  # (L, half, 2D)
             tree = merkle.build(self.h, [pair_cols])
             fold_trees.append(tree)
-            root = tree.root()
+            root = np.asarray(tree.root())
             for i in range(merkle.DIGEST):
                 challenger.observe(int(F.decode(root[:, i])))
             beta_int = challenger.sample_ext(D)
@@ -241,8 +312,9 @@ class TwoAdicFRIPCS:
                 cur = ext.add(cur, ro_by_height.pop(h))
         assert not ro_by_height
         final = cur[..., 0]  # all entries equal (degree 0)
+        final_h = np.asarray(final)
         for d in range(D):
-            challenger.observe(int(F.decode(final[d])))
+            challenger.observe(int(F.decode(final_h[d])))
 
         # 4. PoW + queries
         pow_witness = challenger.grind(cfg.proof_of_work_bits)
@@ -251,7 +323,15 @@ class TwoAdicFRIPCS:
 
         in_proofs, fold_proofs = [], []
         for q in qs:
-            in_proofs.append(merkle.open_at(data.tree, q))
+            in_proofs.append(
+                tuple(
+                    tuple(
+                        merkle.open_at(t, q % hgt)
+                        for t, hgt in zip(data.trees, data.tree_heights)
+                    )
+                    for data, _ in rounds
+                )
+            )
             per_layer = []
             qi = q
             hh = max_h
@@ -295,32 +375,69 @@ class TwoAdicFRIPCS:
     # ------------------------------------------------------------------ verify
     def verify(
         self,
-        root: jnp.ndarray,
+        roots: Sequence[jnp.ndarray],  # per height group (descending height)
         dims: Sequence[tuple[int, int]],  # (lde_height, cols) per matrix
         z_int: list[int],
         proof: FRIProof,
         challenger: DuplexChallenger,
     ) -> bool:
+        """Single-round sugar (see open)."""
+        points = [[z_int]] * len(dims)
+        return self.verify_rounds([(roots, dims, points)], proof, challenger)
+
+    def verify_rounds(
+        self,
+        rounds: Sequence[tuple],
+        proof: FRIProof,
+        challenger: DuplexChallenger,
+    ) -> bool:
+        """rounds: list of (roots, dims, points); dims[m] = (lde_height,
+        cols); points[m] = list of ext points (lists of D coeff ints)."""
         F, ext, cfg = self.F, self.ext, self.cfg
         D = ext.D
-        z = ext.encode([np.array(c, dtype=object) for c in z_int])
-        for ov in proof.opened_values:
-            for c in range(ov.shape[-1]):
-                for d in range(D):
-                    challenger.observe(int(F.decode(ov[d, :, c])))
+        # reconstruct the per-height grouping used at commit time, per round
+        groupings = []
+        for roots, dims, _pts in rounds:
+            by_h: dict[int, list[int]] = {}
+            for i, (h, _) in enumerate(dims):
+                by_h.setdefault(h, []).append(i)
+            group_heights = sorted(by_h, reverse=True)
+            if len(roots) != len(group_heights):
+                return False
+            groupings.append((by_h, group_heights))
+        z_enc: dict[tuple, jnp.ndarray] = {}
+        for roots, _dims, _pts in rounds:
+            for root in roots:
+                root = np.asarray(root)
+                for i in range(merkle.DIGEST):
+                    challenger.observe(int(F.decode(root[:, i])))
+        for r_idx, (_roots, dims, pts) in enumerate(rounds):
+            for m_idx in range(len(dims)):
+                for pt_idx, z_int in enumerate(pts[m_idx]):
+                    key = tuple(z_int)
+                    if key not in z_enc:
+                        z_enc[key] = ext.encode(
+                            [np.array(c, dtype=object) for c in z_int]
+                        )
+                    ov = np.asarray(proof.opened_values[r_idx][m_idx][pt_idx])
+                    for c in range(ov.shape[-1]):
+                        for d in range(D):
+                            challenger.observe(int(F.decode(ov[d, :, c])))
         alpha_int = challenger.sample_ext(D)
         alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
 
-        max_h = max(h for h, _ in dims)
+        max_h = max(h for _r, dims, _p in rounds for h, _ in dims)
         log_max = max_h.bit_length() - 1
         betas = []
         for r in proof.fold_roots:
+            r = np.asarray(r)
             for i in range(merkle.DIGEST):
                 challenger.observe(int(F.decode(r[:, i])))
             beta_int = challenger.sample_ext(D)
             betas.append(ext.encode([np.array(c, dtype=object) for c in beta_int]))
+        final_h = np.asarray(proof.final_poly)
         for d in range(D):
-            challenger.observe(int(F.decode(proof.final_poly[d])))
+            challenger.observe(int(F.decode(final_h[d])))
         if not challenger.check_witness(cfg.proof_of_work_bits, proof.pow_witness):
             return False
         qs = [challenger.sample_bits(log_max) for _ in range(cfg.num_queries)]
@@ -328,27 +445,38 @@ class TwoAdicFRIPCS:
             return False
 
         for qi_idx, q in enumerate(qs):
-            inp = proof.query_input_proofs[qi_idx]
-            if not merkle.verify(self.h, root, dims, q, inp):
-                return False
             # recompute reduced openings per height at this query
             ro_at: dict[int, jnp.ndarray] = {}
             a_off = 0
-            for m_idx, (h, C) in enumerate(dims):
-                idx = q >> (log_max - (h.bit_length() - 1))
-                shift = self._shift_for_height(h, max_h)
-                dom = self._domain(h)
-                x_int = (shift * pow(dom.omega_int, idx, F.p)) % F.p
-                x = ext.embed(F.encode(np.array(x_int, dtype=object)))
-                denom_inv = ext.inv(ext.sub(x, z))
-                row = inp.opened_rows[m_idx]  # (L, C)
-                y = proof.opened_values[m_idx]  # (D, L, C)
-                apows = ext_powers(ext, alpha, a_off + C)[..., a_off:]
-                diff = ext.sub(ext.embed(row), y)
-                num = ext_tree_sum(ext, ext.mul(diff, apows))
-                ro = ext.mul(num, denom_inv)
-                ro_at[h] = ext.add(ro_at[h], ro) if h in ro_at else ro
-                a_off += C
+            for r_idx, (roots, dims, pts) in enumerate(rounds):
+                inp = proof.query_input_proofs[qi_idx][r_idx]
+                by_h, group_heights = groupings[r_idx]
+                opened_by_matrix = {}
+                for gi, hgt in enumerate(group_heights):
+                    gdims = [(hgt, dims[i][1]) for i in by_h[hgt]]
+                    if not merkle.verify(
+                        self.h, roots[gi], gdims, q % hgt, inp[gi]
+                    ):
+                        return False
+                    for k, i in enumerate(by_h[hgt]):
+                        opened_by_matrix[i] = inp[gi].opened_rows[k]
+                for m_idx, (h, C) in enumerate(dims):
+                    idx = q % h
+                    shift = self._shift_for_height(h, max_h)
+                    dom = self._domain(h)
+                    x_int = (shift * pow(dom.omega_int, idx, F.p)) % F.p
+                    x = ext.embed(F.encode(np.array(x_int, dtype=object)))
+                    row = opened_by_matrix[m_idx]  # (L, C)
+                    for pt_idx, z_int in enumerate(pts[m_idx]):
+                        z = z_enc[tuple(z_int)]
+                        denom_inv = ext.inv(ext.sub(x, z))
+                        y = proof.opened_values[r_idx][m_idx][pt_idx]
+                        apows = ext_powers(ext, alpha, a_off + C)[..., a_off:]
+                        diff = ext.sub(ext.embed(row), y)
+                        num = ext_tree_sum(ext, ext.mul(diff, apows))
+                        ro = ext.mul(num, denom_inv)
+                        ro_at[h] = ext.add(ro_at[h], ro) if h in ro_at else ro
+                        a_off += C
             # walk the fold chain
             cur_val = ro_at.pop(max_h)
             qi = q

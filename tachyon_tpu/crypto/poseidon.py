@@ -52,6 +52,8 @@ class Poseidon:
         mds = [
             [pow((x + y) % p, p - 2, p) for y in ys] for x in xs
         ]
+        self.ark_host = ark  # rounds x t python ints
+        self.mds_host = mds  # t x t
         self.ark = F.encode(np.array(ark, dtype=object))  # (L, rounds, t)
         self.mds = F.encode(np.array(mds, dtype=object))  # (L, t, t)
 
@@ -80,26 +82,45 @@ class Poseidon:
         return jnp.concatenate([x0[:, None], st[:, 1:]], axis=1)
 
     def permute(self, st: jnp.ndarray) -> jnp.ndarray:
-        """st: (L, t, *batch). Round order mirrors reference poseidon.h:50."""
-        F = self.F
+        """st: (L, t, *batch).
+
+        Plain arkworks round order (ARK -> sbox -> MDS each round, full ARK
+        rows even in partial rounds).  The reference's sparse-MDS loop
+        (poseidon.h:50 + poseidon_config.h OptimizeARK) is an equivalent
+        constant-folded rewrite of exactly this map.
+        """
         half = self.full_rounds // 2
-        st = self._ark_full(st, 0)
-        for i in range(1, half + 1):
-            st = self._sbox(st)
+        total = self.full_rounds + self.partial_rounds
+        for i in range(total):
             st = self._ark_full(st, i)
+            if half <= i < half + self.partial_rounds:
+                x0 = self._sbox(st[:, 0])
+                st = jnp.concatenate([x0[:, None], st[:, 1:]], axis=1)
+            else:
+                st = self._sbox(st)
             st = self._mix(st)
-        for i in range(half + 1, half + self.partial_rounds + 1):
-            x0 = self._sbox(st[:, 0])
-            st = jnp.concatenate([x0[:, None], st[:, 1:]], axis=1)
-            st = self._ark_partial(st, i)
-            st = self._mix(st)
-        for i in range(half + self.partial_rounds + 1,
-                       self.full_rounds + self.partial_rounds):
-            st = self._sbox(st)
-            st = self._ark_full(st, i)
-            st = self._mix(st)
-        st = self._sbox(st)
-        st = self._mix(st)
+        return st
+
+
+    def permute_host(self, st: list) -> list:
+        """Exact host-int permutation (same map as `permute`); used by
+        sequential host logic (halo2 poseidon transcript) where a device
+        round-trip per permutation would dominate."""
+        p = self.F.p
+        t = self.t
+        half = self.full_rounds // 2
+        total = self.full_rounds + self.partial_rounds
+        st = [int(v) % p for v in st]
+        for i in range(total):
+            st = [(s + rc) % p for s, rc in zip(st, self.ark_host[i])]
+            if half <= i < half + self.partial_rounds:
+                st[0] = pow(st[0], self.alpha, p)
+            else:
+                st = [pow(s, self.alpha, p) for s in st]
+            st = [
+                sum(self.mds_host[r][c] * st[c] for c in range(t)) % p
+                for r in range(t)
+            ]
         return st
 
 

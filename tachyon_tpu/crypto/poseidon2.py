@@ -55,21 +55,26 @@ class Poseidon2:
                 full_ark.append(lfsr.field_elements_rejection_sampling(p, width))
             else:
                 partial_ark.append(lfsr.field_elements_rejection_sampling(p, 1)[0])
+        self.ark_full_host = full_ark
+        self.ark_partial_host = partial_ark
         self.ark_full = F.encode(np.array(full_ark, dtype=object))  # (L, FR, t)
         self.ark_partial = F.encode(np.array(partial_ark, dtype=object))  # (L, PR)
 
         # --- internal matrix constants ---------------------------------------
         if internal == "horizen":
             assert internal_diag is not None and len(internal_diag) == width
+            self.int_diag_host = [int(x) % p for x in internal_diag]
+            self.int_rinv_host = None
             self.int_diag = F.encode(np.array(internal_diag, dtype=object))
             self.int_rinv = None
         else:
             assert internal_shifts is not None and len(internal_shifts) == width - 1
-            mont = F.spec.L == 2  # 31-bit monty fields (R = 2^32) vs mersenne31
             rinv = pow(1 << 32, -1, p) if F.spec.p != (1 << 31) - 1 else 1
             d = [(-2) % p] + [(1 << s) % p for s in internal_shifts]
             # fold the R^{-1} of the plonky3 monty kernel into the constants
-            self.int_diag = F.encode(np.array([(x * rinv) % p for x in d], dtype=object))
+            self.int_diag_host = [(x * rinv) % p for x in d]
+            self.int_rinv_host = rinv
+            self.int_diag = F.encode(np.array(self.int_diag_host, dtype=object))
             self.int_rinv = F.encode(np.array(rinv, dtype=object))
 
     # --- pieces ------------------------------------------------------------------
@@ -143,7 +148,7 @@ class Poseidon2:
         if self.int_rinv is None:  # horizen: v_i * d_i + sum
             return F.add(scaled, s[:, None])
         rinv = self.int_rinv.reshape(
-            (self.int_rinv.shape[0],) + (1,) * (st.ndim - 1)
+            (self.int_rinv.shape[0],) + (1,) * (s.ndim - 1)
         )
         return F.add(scaled, F.mul(s, rinv)[:, None])
 
@@ -171,6 +176,77 @@ class Poseidon2:
         st, _ = jax.lax.scan(full_round, st, ark_f[:half])
         st, _ = jax.lax.scan(partial_round, st, ark_p)
         st, _ = jax.lax.scan(full_round, st, ark_f[half:])
+        return st
+
+    # --- host-exact permutation (sequential challenger/transcript logic) ----
+    def _mix_external_host(self, st: list) -> list:
+        p, t = self.F.p, self.t
+        if t == 2:
+            s = (st[0] + st[1]) % p
+            return [(st[0] + s) % p, (st[1] + s) % p]
+        if t == 3:
+            s = sum(st) % p
+            return [(v + s) % p for v in st]
+        out = [0] * t
+        for b in range(0, t, 4):
+            v0, v1, v2, v3 = st[b : b + 4]
+            if self.external == "plonky3":
+                t0 = v0 + v1
+                t1 = v2 + v3
+                t2 = t0 + t1
+                t3 = t2 + v1
+                t4 = t2 + v3
+                n3 = (t4 + 2 * v0) % p
+                n1 = (t3 + 2 * v2) % p
+                n0 = (t3 + t0) % p
+                n2 = (t4 + t1) % p
+            else:
+                t0 = v0 + v1
+                t1 = v2 + v3
+                t2 = 2 * v1 + t1
+                t3 = 2 * v3 + t0
+                n3 = (4 * t1 + t3) % p
+                n1 = (4 * t0 + t2) % p
+                n0 = (t3 + n1) % p
+                n2 = (t2 + n3) % p
+            out[b : b + 4] = [n0, n1, n2, n3]
+        if t == 4:
+            return out
+        tot = [0] * 4
+        for b in range(0, t, 4):
+            for i in range(4):
+                tot[i] = (tot[i] + out[b + i]) % p
+        return [(out[b + i] + tot[i]) % p for b in range(0, t, 4) for i in range(4)]
+
+    def _mix_internal_host(self, st: list) -> list:
+        p = self.F.p
+        s = sum(st) % p
+        if self.int_rinv_host is None:
+            return [(v * d + s) % p for v, d in zip(st, self.int_diag_host)]
+        sr = s * self.int_rinv_host % p
+        return [(v * d + sr) % p for v, d in zip(st, self.int_diag_host)]
+
+    def permute_host(self, state: list) -> list:
+        """Exact host-int permutation — same map as `permute` on canonical
+        values.  Used by DuplexChallenger and transcripts, where per-call
+        device dispatch would dominate the sequential Fiat-Shamir loop."""
+        p, a = self.F.p, self.alpha
+        half = self.full_rounds // 2
+        st = self._mix_external_host([int(v) % p for v in state])
+        fr_i = 0
+        for _ in range(half):
+            rc = self.ark_full_host[fr_i]
+            fr_i += 1
+            st = [pow((v + c) % p, a, p) for v, c in zip(st, rc)]
+            st = self._mix_external_host(st)
+        for rc in self.ark_partial_host:
+            st[0] = pow((st[0] + rc) % p, a, p)
+            st = self._mix_internal_host(st)
+        for _ in range(half):
+            rc = self.ark_full_host[fr_i]
+            fr_i += 1
+            st = [pow((v + c) % p, a, p) for v, c in zip(st, rc)]
+            st = self._mix_external_host(st)
         return st
 
     # --- sponge / compression helpers ----------------------------------------------

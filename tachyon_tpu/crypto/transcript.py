@@ -18,6 +18,7 @@ device boundary as python ints.
 """
 from __future__ import annotations
 
+import functools as _functools
 import hashlib
 
 from tachyon_tpu.fields.spec import FieldSpec
@@ -153,3 +154,169 @@ class FieldSpecShim:
     def __init__(self, p: int):
         self.p = p
         self.bits = p.bit_length()
+
+
+class Sha256Transcript:
+    """halo2/Scroll sha256 transcript core (reference:
+    zk/plonk/halo2/sha256_transcript.h Sha256Base).
+
+    Semantics: absorbing writes 31 zero bytes + prefix + big-endian
+    coordinates; squeeze appends the 1-byte challenge prefix, finalizes a
+    state copy, then REPLACES the state with sha256(digest) chaining;
+    challenge = u512(digest LE || zeros) mod r."""
+
+    PREFIX_CHALLENGE = b"\x00"
+    PREFIX_POINT = b"\x01"
+    PREFIX_SCALAR = b"\x02"
+    ZEROS = b"\x00" * 31
+
+    def __init__(self, scalar_spec: FieldSpec, base_spec: FieldSpec):
+        self.r = scalar_spec.p
+        self.q = base_spec.p
+        self.n_base_bytes = (base_spec.bits + 63) // 64 * 8
+        self.n_scalar_bytes = (scalar_spec.bits + 63) // 64 * 8
+        self._h = hashlib.sha256()
+
+    def common_point(self, point: tuple | None):
+        self._h.update(self.ZEROS)
+        self._h.update(self.PREFIX_POINT)
+        x, y = (0, 0) if point is None else point
+        self._h.update(int(x).to_bytes(self.n_base_bytes, "big"))
+        self._h.update(int(y).to_bytes(self.n_base_bytes, "big"))
+
+    def common_scalar(self, scalar: int):
+        self._h.update(self.ZEROS)
+        self._h.update(self.PREFIX_SCALAR)
+        self._h.update(
+            (int(scalar) % self.r).to_bytes(self.n_scalar_bytes, "big")
+        )
+
+    def squeeze_challenge(self) -> int:
+        self._h.update(self.PREFIX_CHALLENGE)
+        digest = self._h.digest()
+        self._h = hashlib.sha256()
+        self._h.update(digest)
+        return int.from_bytes(digest, "little") % self.r
+
+
+class PoseidonTranscript:
+    """halo2 poseidon transcript core (reference:
+    zk/plonk/halo2/poseidon_transcript.h PoseidonBase; params
+    BN254PoseidonParams9 = Fr, rate 8, alpha 5, 8 full / 63 partial rounds,
+    PoseidonConfig::Create(0); kroma-network/poseidon duplex flavor:
+    state[0] seeded with 2^64, absorb adds at state[i+1], squeeze appends
+    the terminal 1 then permutes and returns state[1])."""
+
+    def __init__(self, scalar_spec: FieldSpec, base_spec: FieldSpec):
+        self.r = scalar_spec.p
+        self.q = base_spec.p
+        self.n_base_bytes = (base_spec.bits + 63) // 64 * 8
+        self.n_scalar_bytes = (scalar_spec.bits + 63) // 64 * 8
+        self._perm = _poseidon_transcript_perm(scalar_spec)
+        self.rate = 8
+        self.state = [0] * 9
+        self.state[0] = (1 << 64) % self.r
+        self.absorbing: list[int] = []
+
+    def _update(self, elements: list[int]):
+        buf = self.absorbing + [int(v) % self.r for v in elements]
+        # process full rate-chunks; a trailing partial chunk stays buffered
+        while len(buf) >= self.rate:
+            chunk, buf = buf[: self.rate], buf[self.rate :]
+            for i, v in enumerate(chunk):
+                self.state[i + 1] = (self.state[i + 1] + v) % self.r
+            self.state = self._perm.permute_host(self.state)
+        self.absorbing = buf
+
+    def common_point(self, point: tuple | None):
+        x, y = (0, 0) if point is None else point
+        # BaseToScalar: LE bytes of the base coord reduced into Fr
+        self._update([int(x) % self.r, int(y) % self.r])
+
+    def common_scalar(self, scalar: int):
+        self._update([int(scalar)])
+
+    def squeeze_challenge(self) -> int:
+        last = self.absorbing + [1]
+        for i, v in enumerate(last):
+            self.state[i + 1] = (self.state[i + 1] + v) % self.r
+        self.state = self._perm.permute_host(self.state)
+        self.absorbing = []
+        return self.state[1]
+
+
+@_functools.lru_cache(maxsize=None)
+def _poseidon_transcript_perm(scalar_spec: FieldSpec):
+    from tachyon_tpu.crypto.poseidon import Poseidon
+    from tachyon_tpu.math.field import PrimeField
+
+    return Poseidon(
+        PrimeField(scalar_spec), rate=8, alpha=5,
+        full_rounds=8, partial_rounds=63,
+    )
+
+
+_TRANSCRIPT_CORES = {
+    "blake2b": Blake2bTranscript,
+    "sha256": Sha256Transcript,
+    "poseidon": PoseidonTranscript,
+}
+
+
+def make_writer(kind: str, scalar_spec: FieldSpec, base_spec: FieldSpec,
+                legacy: bool = True):
+    """TranscriptWriter over any hash flavor (reference:
+    zk/plonk/halo2/transcript_type.h dispatch)."""
+    core = _TRANSCRIPT_CORES[kind]
+
+    class _Writer(core):
+        def __init__(self):
+            super().__init__(scalar_spec, base_spec)
+            self.proof = bytearray()
+            self.legacy = legacy
+
+        def write_point(self, point):
+            self.common_point(point)
+            self.proof += compress_g1(point, FieldSpecShim(self.q), self.legacy)
+
+        def write_scalar(self, scalar):
+            self.common_scalar(scalar)
+            self.proof += (int(scalar) % self.r).to_bytes(
+                self.n_scalar_bytes, "little"
+            )
+
+    return _Writer()
+
+
+def make_reader(kind: str, proof: bytes, scalar_spec: FieldSpec,
+                base_spec: FieldSpec, b_coeff: int = 3, legacy: bool = True):
+    core = _TRANSCRIPT_CORES[kind]
+
+    class _Reader(core):
+        def __init__(self):
+            super().__init__(scalar_spec, base_spec)
+            self.buf = memoryview(bytes(proof))
+            self.off = 0
+            self.legacy = legacy
+            self.b_coeff = b_coeff
+
+        def read_point(self):
+            nb = self.n_base_bytes
+            data = bytes(self.buf[self.off : self.off + nb])
+            self.off += nb
+            pt = decompress_g1(
+                data, FieldSpecShim(self.q), self.b_coeff, self.legacy
+            )
+            self.common_point(pt)
+            return pt
+
+        def read_scalar(self) -> int:
+            nb = self.n_scalar_bytes
+            v = int.from_bytes(
+                bytes(self.buf[self.off : self.off + nb]), "little"
+            )
+            self.off += nb
+            self.common_scalar(v)
+            return v
+
+    return _Reader()

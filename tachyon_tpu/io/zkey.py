@@ -175,8 +175,31 @@ def parse_zkey(path: str) -> ZKeyData:
     )
 
 
-def parse_wtns(path: str) -> tuple[int, np.ndarray]:
-    """returns (modulus, (L, n) standard-form limb array)."""
+def parse_wtns(path: str, native: bool | None = None) -> tuple[int, np.ndarray]:
+    """returns (modulus, (L, n) standard-form limb array).
+
+    Uses the native mmap parser (io/native) when available; the pure-python
+    path is the fallback and oracle.
+    """
+    if native is not False:
+        try:
+            from tachyon_tpu.io.native import NativeFile, available
+
+            if available():
+                f = NativeFile(path)
+                off, _ = f.find_section(1)
+                n8 = struct.unpack("<I", f.read_bytes(off, 4))[0]
+                modulus = int.from_bytes(f.read_bytes(off + 4, n8), "little")
+                num = struct.unpack(
+                    "<I", f.read_bytes(off + 4 + n8, 4)
+                )[0]
+                off2, _ = f.find_section(2)
+                limbs = f.repack_limbs(off2, num, n8)
+                f.close()
+                return modulus, limbs
+        except Exception:
+            if native:
+                raise
     with open(path, "rb") as f:
         data = f.read()
     version, sections = _read_sections(data, WTNS_MAGIC)

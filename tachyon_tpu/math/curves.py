@@ -88,6 +88,31 @@ def bn254_g2() -> SWCurve:
 
 
 @functools.lru_cache(maxsize=None)
+def bls12_381_fq2() -> ExtField:
+    # Fq2 = Fq[u]/(u^2 + 1)
+    return ExtField(
+        PrimeField(presets.BLS12_381_FQ), 2, -1, name="bls12_381_fq2"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def bls12_381_g2() -> SWCurve:
+    """BLS12-381 G2 on the M-twist y^2 = x^3 + 4(u+1)
+    (reference: elliptic_curves/bls12/bls12_381/g2.h generated params)."""
+    from tachyon_tpu.math import pairing_bls12_381 as bls
+
+    return SWCurve(
+        name="bls12_381_g2",
+        field=bls12_381_fq2(),
+        a=[0, 0],
+        b=[4, 4],
+        gen_x=list(bls.G2_GEN[0]),
+        gen_y=list(bls.G2_GEN[1]),
+        scalar_field=PrimeField(presets.BLS12_381_FR),
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def bls12_381_g1() -> SWCurve:
     return SWCurve(
         name="bls12_381_g1",

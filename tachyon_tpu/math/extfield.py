@@ -246,3 +246,70 @@ class ExtField:
 def frobenius_coeffs(ext: ExtField, power: int = 1):
     """placeholder for pairing work (round 2): Frobenius endomorphism."""
     raise NotImplementedError
+
+
+class HostExt:
+    """Exact host-side scalar arithmetic in F_p[x]/(x^D - nr).
+
+    Elements are lists/tuples of D python ints (coefficient-major, matching
+    ExtField.decode output order).  Used by verifier-side logic that folds
+    constraint evaluations at an extension point (uni-STARK verify,
+    challenger bookkeeping) where a device round-trip per scalar op would
+    dominate.  Only valid for a prime base field.
+    """
+
+    def __init__(self, ext: ExtField):
+        assert isinstance(ext.base, PrimeField), "HostExt: prime base only"
+        self.D = ext.D
+        self.p = ext.p
+        self.nr = int(ext._nr_host)
+
+    def e(self, x) -> list:
+        """embed int or coerce a sequence to canonical D-list."""
+        if isinstance(x, int):
+            return [x % self.p] + [0] * (self.D - 1)
+        out = [int(c) % self.p for c in x]
+        assert len(out) == self.D
+        return out
+
+    def add(self, a, b):
+        return [(x + y) % self.p for x, y in zip(self.e(a), self.e(b))]
+
+    def sub(self, a, b):
+        return [(x - y) % self.p for x, y in zip(self.e(a), self.e(b))]
+
+    def neg(self, a):
+        return [(-x) % self.p for x in self.e(a)]
+
+    def mul(self, a, b):
+        a, b = self.e(a), self.e(b)
+        D, p, nr = self.D, self.p, self.nr
+        out = [0] * D
+        for i in range(D):
+            ai = a[i]
+            if ai == 0:
+                continue
+            for j in range(D):
+                k = i + j
+                t = ai * b[j]
+                if k >= D:
+                    out[k - D] = (out[k - D] + t * nr) % p
+                else:
+                    out[k] = (out[k] + t) % p
+        return out
+
+    def pow(self, a, e: int):
+        r = self.e(1)
+        a = self.e(a)
+        while e:
+            if e & 1:
+                r = self.mul(r, a)
+            a = self.mul(a, a)
+            e >>= 1
+        return r
+
+    def inv(self, a):
+        return self.pow(a, self.p ** self.D - 2)
+
+    def is_zero(self, a) -> bool:
+        return all(c % self.p == 0 for c in self.e(a))

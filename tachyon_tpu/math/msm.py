@@ -108,17 +108,19 @@ def msm(
     points: AffinePoint,
     scalars: jnp.ndarray,
     c: int | None = None,
+    total_bits: int | None = None,
 ) -> PointXYZZ:
     """Variable-base MSM: sum_i scalars_i * points_i -> one XYZZ point.
 
     points: AffinePoint with (L, n) coords; scalars: (Ls, n) plain 16-bit
-    limbs of the scalar field.  jit-safe (static n).
+    limbs of the scalar field.  jit-safe (static n).  total_bits overrides
+    the scalar bit-width (GLV feeds half-width decomposed scalars).
     """
     F = curve.F
     n = scalars.shape[1]
     if n <= MSM_NAIVE_THRESHOLD:
         return _msm_naive(curve, points, scalars)
-    total_bits = curve.SF.spec.bits
+    total_bits = total_bits or curve.SF.spec.bits
     c = c or optimal_window_bits(total_bits, n)
     B = 1 << c
     digits = digit_decompose(scalars, total_bits, c)  # (W, n)

@@ -17,9 +17,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.7 exposes shard_map at top level
-    shard_map = jax.shard_map
+    _shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(fn, mesh, in_specs, out_specs):
+    """check_vma/check_rep off: pallas_call out_shapes carry no vma info,
+    and our regions are manually replicated-correct by construction."""
+    try:
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
 
 from tachyon_tpu.math.ec import AffinePoint, PointXYZZ, SWCurve
 from tachyon_tpu.math.msm import msm, _tree_reduce
@@ -53,4 +64,96 @@ def msm_sharded(
         out_specs=PointXYZZ(coord_out, coord_out, coord_out, coord_out),
     )(points, scalars)
     # partials: leaves (..., n_dev); combine with a log-depth tree
+    return _tree_reduce(curve, partials, n_dev)
+
+
+def msm_sharded_2d(
+    curve: SWCurve,
+    mesh: Mesh,
+    points: AffinePoint,
+    scalars: jnp.ndarray,
+    c: int,
+    point_axis: str = "dp",
+    window_axis: str = "win",
+) -> PointXYZZ:
+    """2-D MSM sharding: points x windows (the reference's
+    kParallelWindowAndTerm, pippenger_adapter.h:75-80, lifted to a 2-D chip
+    mesh).  Each device runs bucket accumulation for ITS windows over ITS
+    point shard, applies the window weight 2^(c*w) with a local doubling
+    chain (removing the serial cross-window Horner), and the per-device
+    partial points are tree-added.
+
+    scalars: (Ls, n) plain limbs; window count W = ceil(bits/c) must be
+    divisible by the window-axis size.
+    """
+    from tachyon_tpu.math.msm import digit_decompose, _seg_scan_combine
+
+    n_dev = int(mesh.devices.size)
+    win_dev = mesh.shape[window_axis]
+    total_bits = curve.SF.spec.bits
+    W = (total_bits + c - 1) // c
+    assert W % win_dev == 0, f"W={W} not divisible by win={win_dev}"
+    Wk = W // win_dev
+    B = 1 << c
+    cnd = points.x.ndim
+    coord_in = P(*([None] * (cnd - 1)), point_axis)
+
+    combine = _seg_scan_combine(curve)
+
+    def local(pts, scal):
+        widx = jax.lax.axis_index(window_axis)
+        digits = digit_decompose(scal, total_bits, c)  # (W, n_local)
+        pts_xyzz = curve.to_xyzz(pts)
+
+        def window_body(_, dw):
+            order = jnp.argsort(dw)
+            d_s = dw[order]
+            p_s = jax.tree.map(
+                lambda t: jnp.take(t, order, axis=t.ndim - 1), pts_xyzz
+            )
+            _, scanned = jax.lax.associative_scan(
+                combine, (d_s[None], p_s), axis=p_s.x.ndim - 1
+            )
+            nxt = jnp.concatenate([d_s[1:], jnp.full((1,), B, d_s.dtype)])
+            is_end = d_s != nxt
+            idx = jnp.where(is_end, d_s, jnp.uint32(B)).astype(jnp.int32)
+            zero_b = curve.infinity_xyzz((B + 1,))
+            buckets = jax.tree.map(
+                lambda z, v: z.at[..., idx].set(v, mode="drop"), zero_b, scanned
+            )
+            buckets = jax.tree.map(lambda t: t[..., 1:B], buckets)
+            suffix = jax.lax.associative_scan(
+                curve.add_xyzz, buckets, axis=buckets.x.ndim - 1, reverse=True
+            )
+            win = _tree_reduce(curve, suffix, B - 1)
+            return None, win
+
+        # this device's Wk windows: rows widx*Wk .. widx*Wk+Wk-1
+        my = jax.lax.dynamic_slice_in_dim(digits, widx * Wk, Wk, axis=0)
+        _, wins = jax.lax.scan(window_body, None, my)
+        # local horner over the Wk windows (most significant first)
+        rev = jax.tree.map(lambda t: t[::-1], wins)
+        first = jax.tree.map(lambda t: t[0], rev)
+        rest = jax.tree.map(lambda t: t[1:], rev)
+
+        def horner_body(acc, win):
+            acc = jax.lax.fori_loop(0, c, lambda i, a: curve.dbl_xyzz(a), acc)
+            return curve.add_xyzz(acc, win), None
+
+        acc, _ = jax.lax.scan(horner_body, first, rest)
+        # weight by 2^(c * widx * Wk): dynamic-bound doubling chain
+        acc = jax.lax.fori_loop(
+            0, widx * Wk * c, lambda i, a: curve.dbl_xyzz(a), acc
+        )
+        return jax.tree.map(lambda t: t[..., None], acc)
+
+    partials = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            AffinePoint(coord_in, coord_in, P(point_axis)),
+            P(None, point_axis),
+        ),
+        out_specs=PointXYZZ(*([P(*([None] * (cnd - 1)), (point_axis, window_axis))] * 4)),
+    )(points, scalars)
     return _tree_reduce(curve, partials, n_dev)

@@ -23,9 +23,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:
-    shard_map = jax.shard_map
+    _shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(fn, mesh, in_specs, out_specs):
+    """check_vma/check_rep off: pallas_call out_shapes carry no vma info,
+    and our regions are manually replicated-correct by construction."""
+    try:
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return _shard_map(fn, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
 
 from tachyon_tpu.math.field import PrimeField
 from tachyon_tpu.math.ntt import Radix2Domain

@@ -134,6 +134,12 @@ class CircomGroth16Prover:
         h_std = mont.mont_reduce(F.spec, h_mont)
 
         npub1 = zk.num_public + 1
+        # optional input dump for the replay debugger (io/replay.py;
+        # reference: msm_gpu_replay.cc / TACHYON_PCS_PARAMS_LOG_PATH)
+        from tachyon_tpu.io import replay as _replay
+
+        _replay.dump_msm("bn254_g1", self.pts_a1.x, self.pts_a1.y,
+                         self.pts_a1.inf, w_std)
         a_acc = msm(self.g1, self.pts_a1, w_std)
         b2_acc = msm(self.g2, self.pts_b2, w_std)
         c_acc = msm(self.g1, self.pts_c1, w_std[:, npub1:])

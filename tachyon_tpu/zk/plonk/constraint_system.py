@@ -29,6 +29,26 @@ class Gate:
 
 
 @dataclasses.dataclass
+class LookupArgument:
+    """input_exprs[i] must appear (as a theta-compressed tuple) among the
+    rows of table_exprs (reference: zk/lookup/argument.h)."""
+
+    name: str
+    input_exprs: list
+    table_exprs: list
+
+
+@dataclasses.dataclass
+class ShuffleArgument:
+    """input_exprs rows are a permutation of shuffle_exprs rows
+    (reference: zk/shuffle/argument.h)."""
+
+    name: str
+    input_exprs: list
+    shuffle_exprs: list
+
+
+@dataclasses.dataclass
 class ConstraintSystem:
     num_fixed: int = 0
     num_advice: int = 0
@@ -37,6 +57,22 @@ class ConstraintSystem:
     # permutation: columns participating in equality
     permutation_columns: list = dataclasses.field(default_factory=list)
     copies: list = dataclasses.field(default_factory=list)  # ((col, row), (col, row))
+    lookups: list = dataclasses.field(default_factory=list)  # LookupArgument
+    shuffles: list = dataclasses.field(default_factory=list)  # ShuffleArgument
+    # "halo2" (permuted pairs, lookup/halo2/) or "log_derivative"
+    # (m-poly grand sum, lookup/log_derivative_halo2/)
+    lookup_type: str = "halo2"
+    # ZK blinding rows (reference: zk/base/blinder.h + halo2 usable-rows
+    # convention: rows [n-t-1, n) are the "last" row + t blind rows;
+    # 0 = deterministic proofs)
+    blinding_factors: int = 0
+
+    def usable_rows(self, n: int) -> int:
+        """index u of the 'last' row: active rows are [0, u), blind rows
+        (u, n); u itself carries the grand-product closing constraint."""
+        if self.blinding_factors == 0:
+            return n
+        return n - self.blinding_factors - 1
 
     def fixed_column(self) -> ColumnRef:
         self.num_fixed += 1
@@ -57,6 +93,18 @@ class ConstraintSystem:
     def create_gate(self, name: str, polys: list):
         self.gates.append(Gate(name, polys))
 
+    def lookup(self, name: str, pairs: list):
+        """pairs: list of (input_expr, table_expr)."""
+        self.lookups.append(
+            LookupArgument(name, [p[0] for p in pairs], [p[1] for p in pairs])
+        )
+
+    def shuffle(self, name: str, pairs: list):
+        """pairs: list of (input_expr, shuffle_expr)."""
+        self.shuffles.append(
+            ShuffleArgument(name, [p[0] for p in pairs], [p[1] for p in pairs])
+        )
+
     def copy(self, a: tuple, b: tuple):
         """a, b: (ColumnRef, row)"""
         self.copies.append((a, b))
@@ -72,6 +120,29 @@ class ConstraintSystem:
         return max(
             (ex.degree(p) for g in self.gates for p in g.polys), default=1
         )
+
+    def required_degree(self) -> int:
+        """max identity degree across gates/permutation/lookups/shuffles
+        (reference: constraint_system.h ComputeDegree)."""
+        deg = max(self.max_gate_degree(), 2)
+        if self.permutation_columns:
+            deg = max(deg, len(self.permutation_columns) + 2)
+        for lk in self.lookups:
+            din = max((ex.degree(e) for e in lk.input_exprs), default=1)
+            dtb = max((ex.degree(e) for e in lk.table_exprs), default=1)
+            if self.lookup_type == "halo2":
+                # z(wx)(a'+beta)(s'+gamma) vs z(x)(A+beta)(S+gamma)
+                deg = max(deg, 3, 1 + din + dtb)
+            else:
+                # (phi(wx)-phi(x))(A+beta)(S+beta) - ((S+beta) - m(A+beta))
+                deg = max(deg, 1 + din + dtb, 2)
+        for sh in self.shuffles:
+            din = max((ex.degree(e) for e in sh.input_exprs), default=1)
+            dsh = max((ex.degree(e) for e in sh.shuffle_exprs), default=1)
+            deg = max(deg, 1 + max(din, dsh, 1))
+        if self.blinding_factors > 0:
+            deg += 1  # every transition identity gains the l_active factor
+        return deg
 
 
 class CycleStore:

@@ -5,10 +5,13 @@ Analog of the reference's halo2 proving stack
 permutation/permutation_prover.h + grand_product_argument.h,
 vanishing/circuit_polynomial_builder.h, verifier.h).
 
-Round-1 scope (documented deviations, self-consistent prover+verifier):
-  * single permutation grand product (halo2 chunks by degree bound);
-  * no lookups/shuffles yet; no ZK blinding rows (deterministic proofs);
-  * instance values absorbed as scalars.
+Features: permutation argument, halo2 + log-derivative lookups, shuffles,
+ZK blinding rows (cs.blinding_factors > 0), SHPlonk/GWC multiopen dispatch.
+Documented deviations (self-consistent prover+verifier, upstream-halo2
+bit-compat is a later milestone): single permutation grand product (halo2
+chunks by degree bound); no vanishing random poly; selectors are plain
+fixed columns (no selector compression); instance values absorbed as
+scalars.
 
 All column algebra (FFTs, grand products, gate evaluation over the extended
 coset, vanishing division) is vectorized on device; transcript and
@@ -23,13 +26,19 @@ import jax
 import jax.numpy as jnp
 
 from tachyon_tpu.crypto import kzg as kzg_mod
-from tachyon_tpu.crypto.multiopen import ProverOpening, SHPlonk, VerifierOpening
+from tachyon_tpu.crypto.multiopen import (
+    GWC,
+    ProverOpening,
+    SHPlonk,
+    VerifierOpening,
+)
 from tachyon_tpu.crypto.transcript import TranscriptReader, TranscriptWriter
 from tachyon_tpu.fields import presets
 from tachyon_tpu.math import curves, poly as poly_mod
 from tachyon_tpu.math.ntt import Radix2Domain
 from tachyon_tpu.ops import mont
 from tachyon_tpu.zk.plonk import expressions as ex
+from tachyon_tpu.zk.plonk import lookup
 from tachyon_tpu.zk.plonk.constraint_system import (
     ConstraintSystem,
     build_permutation_mapping,
@@ -106,9 +115,13 @@ def _prefix_product(Fr, ratios: jnp.ndarray) -> jnp.ndarray:
 
 
 class PlonkProver:
-    def __init__(self, params: kzg_mod.KZGParams, pk: ProvingKey):
+    def __init__(self, params: kzg_mod.KZGParams, pk: ProvingKey,
+                 pcs: str = "shplonk"):
+        """pcs: "shplonk" | "gwc" (reference: zk/plonk/halo2/pcs_type.h
+        kGWC/kSHPlonk dispatch, c/zk/plonk/halo2/bn254_prover.cc:359)."""
         self.params = params
         self.pk = pk
+        self.pcs_cls = {"shplonk": SHPlonk, "gwc": GWC}[pcs]
         self.Fr = curves.bn254_fr()
         self.dom = Radix2Domain(self.Fr, pk.n)
 
@@ -125,17 +138,40 @@ class PlonkProver:
         )
 
     def prove(self, advice_values: list, instance_values: list) -> bytes:
-        """advice/instance values: per column numpy object arrays of n ints."""
+        """advice/instance values: per column numpy object arrays of n ints.
+
+        With cs.blinding_factors > 0 the last t+1 rows of every advice
+        column are overwritten with fresh randomness and all transition
+        identities are masked to the active region (halo2 blinding:
+        reference zk/base/blinder.h + the l_last/l_active_row machinery in
+        keys/proving_key.h) — proofs become zero-knowledge.
+        """
         Fr, pk, dom = self.Fr, self.pk, self.dom
         cs, n, p = pk.cs, pk.n, Fr.p
         omega = dom.omega_int
         w = TranscriptWriter(presets.BN254_FR, presets.BN254_FQ)
+
+        t_blind = cs.blinding_factors
+        u = cs.usable_rows(n)
+        brng = np.random.default_rng()  # fresh per proof
+
+        def rand_ints(k):
+            return [int(brng.integers(0, 1 << 62)) * int(
+                brng.integers(0, 1 << 62)) % p for _ in range(k)]
 
         instance_ints = [list(map(int, vals)) for vals in instance_values]
         for col in instance_ints:
             for v in col:
                 w.common_scalar(v)
 
+        if t_blind:
+            advice_values = [
+                np.concatenate([
+                    np.asarray(v, dtype=object)[:u],
+                    np.array(rand_ints(n - u), dtype=object),
+                ])
+                for v in advice_values
+            ]
         advice_evals = [
             Fr.encode(np.asarray(v, dtype=object)) for v in advice_values
         ]
@@ -148,6 +184,56 @@ class PlonkProver:
             Fr.encode(np.asarray(v, dtype=object)) for v in instance_values
         ]
         instance_coeffs = [dom.ifft(e) for e in instance_evals]
+
+        # --- lookups: theta-compress + host prep (reference:
+        # zk/lookup/halo2/prover_impl.h BatchCompressPairs/BatchPermutePairs,
+        # log_derivative_halo2/prover_impl.h ComputeMPolys) -----------------
+        theta = None
+        lookup_cols = []  # per lookup: dict of committed column evals/coeffs
+        if cs.lookups or cs.shuffles:
+            theta = w.squeeze_challenge()
+        base_ev = ex.Evaluator(Fr, pk.fixed_evals, advice_evals,
+                               instance_evals, rot_scale=1)
+        for lk in cs.lookups:
+            a_comp = lookup.compress(Fr, base_ev, lk.input_exprs, theta)
+            s_comp = lookup.compress(Fr, base_ev, lk.table_exprs, theta)
+            entry = {"a": a_comp, "s": s_comp}
+            if cs.lookup_type == "halo2":
+                # pairs built over the usable region; blinded tail rows of
+                # A'/S' are random (halo2 permute_expression_pair + blinder)
+                ap_ints, sp_ints = lookup.permute_pair(
+                    Fr.decode(a_comp)[:u], Fr.decode(s_comp)[:u]
+                )
+                if t_blind:
+                    ap_ints = np.concatenate(
+                        [ap_ints, np.array(rand_ints(n - u), dtype=object)]
+                    )
+                    sp_ints = np.concatenate(
+                        [sp_ints, np.array(rand_ints(n - u), dtype=object)]
+                    )
+                ap = Fr.encode(ap_ints)
+                sp = Fr.encode(sp_ints)
+                entry.update(
+                    ap=ap, sp=sp, ap_coeffs=dom.ifft(ap), sp_coeffs=dom.ifft(sp)
+                )
+                for e in (ap, sp):
+                    cm = self._commit_evals(e)
+                    entry.setdefault("cms", []).append(cm)
+                    w.write_point(cm)
+            else:
+                m_ints = lookup.multiplicities(
+                    Fr.decode(a_comp)[:u], Fr.decode(s_comp)[:u]
+                )
+                if t_blind:
+                    m_ints = np.concatenate(
+                        [m_ints, np.zeros(n - u, dtype=object)]
+                    )
+                m = Fr.encode(m_ints)
+                entry.update(m=m, m_coeffs=dom.ifft(m))
+                cm = self._commit_evals(m)
+                entry["cms"] = [cm]
+                w.write_point(cm)
+            lookup_cols.append(entry)
 
         beta = w.squeeze_challenge()
         gamma = w.squeeze_challenge()
@@ -172,16 +258,82 @@ class PlonkProver:
             t_den = Fr.add(Fr.add(v, Fr.mul(beta_e, pk.sigma_evals[j])), gamma_e)
             num = Fr.mul(num, t_num)
             den = Fr.mul(den, t_den)
-        ratios = Fr.mul(num, Fr.batch_inverse(den, axis=1))
-        z_evals = _prefix_product(Fr, ratios)
+        idx_row = jnp.arange(n)
+        active_mask = idx_row < u  # (n,)
+
+        def mask_ratios(r):
+            """force ratio 1 on the last+blind rows so the prefix product
+            closes at row u (active-region telescoping)."""
+            if not t_blind:
+                return r
+            return Fr.select(active_mask, r, Fr.ones((n,)))
+
+        def blind_z(z):
+            """randomize z on the blind rows (> u); row u keeps the
+            closing value the verifier's l_last constraint checks."""
+            if not t_blind:
+                return z
+            rz = Fr.encode(np.array(rand_ints(n), dtype=object))
+            return Fr.select(idx_row > u, rz, z)
+
+        ratios = mask_ratios(Fr.mul(num, Fr.batch_inverse(den, axis=1)))
+        z_evals = blind_z(_prefix_product(Fr, ratios))
         z_coeffs = dom.ifft(z_evals)
         z_cm = self._commit_evals(z_evals)
         w.write_point(z_cm)
 
+        # --- lookup grand products / grand sums -----------------------------
+        beta_c = Fr.full((), beta)[:, None]
+        gamma_c = Fr.full((), gamma)[:, None]
+        for entry in lookup_cols:
+            if cs.lookup_type == "halo2":
+                # z[i+1]/z[i] = (A+beta)(S+gamma) / ((A'+beta)(S'+gamma))
+                t_num = Fr.mul(Fr.add(entry["a"], beta_c),
+                               Fr.add(entry["s"], gamma_c))
+                t_den = Fr.mul(Fr.add(entry["ap"], beta_c),
+                               Fr.add(entry["sp"], gamma_c))
+                r = mask_ratios(Fr.mul(t_num, Fr.batch_inverse(t_den, axis=1)))
+                zl = blind_z(_prefix_product(Fr, r))
+            else:
+                # phi[i+1]-phi[i] = 1/(A+beta) - m/(S+beta); phi[0] = 0
+                inv_a = Fr.batch_inverse(Fr.add(entry["a"], beta_c), axis=1)
+                inv_s = Fr.batch_inverse(Fr.add(entry["s"], beta_c), axis=1)
+                term = Fr.sub(inv_a, Fr.mul(entry["m"], inv_s))
+                if t_blind:
+                    term = Fr.select(active_mask, term, Fr.zeros((n,)))
+                inc = jax.lax.associative_scan(Fr.add, term, axis=1)
+                zl = jnp.concatenate(
+                    [Fr.zeros((1,)), inc[:, :-1]], axis=1
+                )
+                zl = blind_z(zl)
+            entry["z"] = zl
+            entry["z_coeffs"] = dom.ifft(zl)
+            cm = self._commit_evals(zl)
+            entry["z_cm"] = cm
+            w.write_point(cm)
+
+        # --- shuffle grand products (reference: zk/shuffle/prover.h) --------
+        shuffle_cols = []
+        for sh in cs.shuffles:
+            a_comp = lookup.compress(Fr, base_ev, sh.input_exprs, theta)
+            s_comp = lookup.compress(Fr, base_ev, sh.shuffle_exprs, theta)
+            r = mask_ratios(Fr.mul(
+                Fr.add(a_comp, gamma_c),
+                Fr.batch_inverse(Fr.add(s_comp, gamma_c), axis=1),
+            ))
+            zs = blind_z(_prefix_product(Fr, r))
+            entry = {
+                "a": a_comp, "s": s_comp, "z": zs, "z_coeffs": dom.ifft(zs),
+            }
+            cm = self._commit_evals(zs)
+            entry["z_cm"] = cm
+            shuffle_cols.append(entry)
+            w.write_point(cm)
+
         y = w.squeeze_challenge()
 
         # --- vanishing / h(X) over extended coset ------------------------------
-        max_deg = max(cs.max_gate_degree(), len(cs.permutation_columns) + 2)
+        max_deg = cs.required_degree()
         ext_factor = 1 << max(1, (max_deg - 1).bit_length())
         big_n = n * ext_factor
         big = Radix2Domain(Fr, big_n)
@@ -206,8 +358,9 @@ class PlonkProver:
                 v = ev.eval(poly)
                 acc = v if acc is None else Fr.add(Fr.mul(acc, Fr.full((), y)[:, None]), v)
 
-        # permutation identities on the extended coset
-        xs = big.shift_powers(shift, big_n)  # coset points
+        # permutation identities on the extended coset: x_i = shift * w^i
+        wp = big.shift_powers(big.omega_int, big_n)  # w^i
+        xs = Fr.mul(wp, Fr.full((), shift)[:, None])
         beta_b = Fr.full((big_n,), beta)
         gamma_b = Fr.full((big_n,), gamma)
         numb = Fr.ones((big_n,))
@@ -222,14 +375,101 @@ class PlonkProver:
         z_next = jnp.roll(z_ext, -ext_factor, axis=1)
         perm_trans = Fr.sub(Fr.mul(z_next, denb), Fr.mul(z_ext, numb))
 
-        # l_0 over extended coset
-        l0_evals = Fr.encode(np.array([1] + [0] * (n - 1), dtype=object))
-        l0_ext = to_ext(dom.ifft(l0_evals))
+        # row-selector polynomials over the extended coset
+        def ind_ext(vec_01):
+            return to_ext(dom.ifft(Fr.encode(np.array(vec_01, dtype=object))))
+
+        l0_ext = ind_ext([1] + [0] * (n - 1))
+        if t_blind:
+            llast_ext = ind_ext([0] * u + [1] + [0] * (n - u - 1))
+            lactive_ext = ind_ext([1] * u + [0] * (n - u))
+            perm_trans = Fr.mul(perm_trans, lactive_ext)
         perm_first = Fr.mul(l0_ext, Fr.sub(z_ext, Fr.ones((big_n,))))
 
         yc = Fr.full((), y)[:, None]
-        for ident in (perm_first, perm_trans):
+        perm_idents = [perm_first, perm_trans]
+        if t_blind:
+            # l_last * (z^2 - z): the closing value must be boolean
+            perm_idents.append(
+                Fr.mul(llast_ext, Fr.sub(Fr.square(z_ext), z_ext))
+            )
+        for ident in perm_idents:
             acc = ident if acc is None else Fr.add(Fr.mul(acc, yc), ident)
+
+        # lookup identities over the extended coset
+        one_b = Fr.ones((big_n,))
+        beta_b2 = Fr.full((), beta)[:, None]
+        gamma_b2 = Fr.full((), gamma)[:, None]
+        ext_ev = ex.Evaluator(Fr, fixed_ext, advice_ext, instance_ext,
+                              rot_scale=ext_factor)
+        for lk_idx, entry in enumerate(lookup_cols):
+            z_lk = to_ext(entry["z_coeffs"])
+            z_lk_next = jnp.roll(z_lk, -ext_factor, axis=1)
+            idents = []
+            def act(v):
+                return Fr.mul(v, lactive_ext) if t_blind else v
+
+            def bool_close(z_col):
+                return Fr.mul(llast_ext, Fr.sub(Fr.square(z_col), z_col))
+
+            if cs.lookup_type == "halo2":
+                lk = cs.lookups[lk_idx]
+                a_big = lookup.compress(Fr, ext_ev, lk.input_exprs, theta)
+                s_big = lookup.compress(Fr, ext_ev, lk.table_exprs, theta)
+                ap_big = to_ext(entry["ap_coeffs"])
+                sp_big = to_ext(entry["sp_coeffs"])
+                ap_prev = jnp.roll(ap_big, ext_factor, axis=1)
+                idents.append(Fr.mul(l0_ext, Fr.sub(z_lk, one_b)))
+                idents.append(act(Fr.sub(
+                    Fr.mul(z_lk_next,
+                           Fr.mul(Fr.add(ap_big, beta_b2),
+                                  Fr.add(sp_big, gamma_b2))),
+                    Fr.mul(z_lk,
+                           Fr.mul(Fr.add(a_big, beta_b2),
+                                  Fr.add(s_big, gamma_b2))),
+                )))
+                if t_blind:
+                    idents.append(bool_close(z_lk))
+                diff = Fr.sub(ap_big, sp_big)
+                idents.append(Fr.mul(l0_ext, diff))
+                idents.append(act(Fr.mul(diff, Fr.sub(ap_big, ap_prev))))
+            else:
+                lk = cs.lookups[lk_idx]
+                a_big = lookup.compress(Fr, ext_ev, lk.input_exprs, theta)
+                s_big = lookup.compress(Fr, ext_ev, lk.table_exprs, theta)
+                m_big = to_ext(entry["m_coeffs"])
+                idents.append(Fr.mul(l0_ext, z_lk))
+                # (phi(wx)-phi(x))(A+b)(S+b) - ((S+b) - m(A+b))
+                ab = Fr.add(a_big, beta_b2)
+                sb = Fr.add(s_big, beta_b2)
+                idents.append(act(Fr.sub(
+                    Fr.mul(Fr.sub(z_lk_next, z_lk), Fr.mul(ab, sb)),
+                    Fr.sub(sb, Fr.mul(m_big, ab)),
+                )))
+                if t_blind:
+                    # grand sum must close to zero at the last row
+                    idents.append(Fr.mul(llast_ext, z_lk))
+            for ident in idents:
+                acc = ident if acc is None else Fr.add(Fr.mul(acc, yc), ident)
+
+        for si, entry in enumerate(shuffle_cols):
+            sh = cs.shuffles[si]
+            a_big = lookup.compress(Fr, ext_ev, sh.input_exprs, theta)
+            s_big = lookup.compress(Fr, ext_ev, sh.shuffle_exprs, theta)
+            z_sh = to_ext(entry["z_coeffs"])
+            z_sh_next = jnp.roll(z_sh, -ext_factor, axis=1)
+            sh_idents = [
+                Fr.mul(l0_ext, Fr.sub(z_sh, one_b)),
+                Fr.sub(Fr.mul(z_sh_next, Fr.add(s_big, gamma_b2)),
+                       Fr.mul(z_sh, Fr.add(a_big, gamma_b2))),
+            ]
+            if t_blind:
+                sh_idents[1] = Fr.mul(sh_idents[1], lactive_ext)
+                sh_idents.append(
+                    Fr.mul(llast_ext, Fr.sub(Fr.square(z_sh), z_sh))
+                )
+            for ident in sh_idents:
+                acc = ident if acc is None else Fr.add(Fr.mul(acc, yc), ident)
 
         # divide by Z_H(coset x) = shift^n * w^(n i) - 1
         zh_vals = np.empty((ext_factor,), dtype=object)
@@ -282,20 +522,48 @@ class PlonkProver:
         w.write_scalar(zx)
         w.write_scalar(zwx)
         openings.append(ProverOpening(z_coeffs, (x, wx)))
+        # lookup openings: halo2 -> a'(x), a'(w^-1 x), s'(x), z(x), z(wx);
+        # log-derivative -> m(x), phi(x), phi(wx); shuffle -> z(x), z(wx)
+        winv_x = x * pow(omega, p - 2, p) % p
+        for entry in lookup_cols:
+            if cs.lookup_type == "halo2":
+                for c, pts in (
+                    (entry["ap_coeffs"], (x, winv_x)),
+                    (entry["sp_coeffs"], (x,)),
+                    (entry["z_coeffs"], (x, wx)),
+                ):
+                    for pt in pts:
+                        w.write_scalar(ev_at(c, pt))
+                    openings.append(ProverOpening(c, pts))
+            else:
+                for c, pts in (
+                    (entry["m_coeffs"], (x,)),
+                    (entry["z_coeffs"], (x, wx)),
+                ):
+                    for pt in pts:
+                        w.write_scalar(ev_at(c, pt))
+                    openings.append(ProverOpening(c, pts))
+        for entry in shuffle_cols:
+            c = entry["z_coeffs"]
+            for pt in (x, wx):
+                w.write_scalar(ev_at(c, pt))
+            openings.append(ProverOpening(c, (x, wx)))
         # h combined poly: open each chunk at x
         for chunk in h_chunks:
             openings.append(ProverOpening(chunk, (x,)))
             vv = ev_at(chunk, x)
             w.write_scalar(vv)
 
-        SHPlonk(self.params).create_opening_proof(openings, w)
+        self.pcs_cls(self.params).create_opening_proof(openings, w)
         return bytes(w.proof)
 
 
 class PlonkVerifier:
-    def __init__(self, params: kzg_mod.KZGParams, pk: ProvingKey):
+    def __init__(self, params: kzg_mod.KZGParams, pk: ProvingKey,
+                 pcs: str = "shplonk"):
         self.params = params
         self.pk = pk  # uses only the VK parts (commitments + cs)
+        self.pcs_cls = {"shplonk": SHPlonk, "gwc": GWC}[pcs]
         self.Fr = curves.bn254_fr()
         self.dom = Radix2Domain(self.Fr, pk.n)
 
@@ -308,21 +576,50 @@ class PlonkVerifier:
             for v in col:
                 r.common_scalar(int(v))
         advice_cms = [r.read_point() for _ in range(cs.num_advice)]
+        theta = None
+        if cs.lookups or cs.shuffles:
+            theta = r.squeeze_challenge()
+        lookup_cms = []  # per lookup: committed prep columns
+        for _lk in cs.lookups:
+            if cs.lookup_type == "halo2":
+                lookup_cms.append((r.read_point(), r.read_point()))
+            else:
+                lookup_cms.append((r.read_point(),))
         beta = r.squeeze_challenge()
         gamma = r.squeeze_challenge()
         z_cm = r.read_point()
+        lookup_z_cms = [r.read_point() for _ in cs.lookups]
+        shuffle_z_cms = [r.read_point() for _ in cs.shuffles]
         y = r.squeeze_challenge()
-        max_deg = max(cs.max_gate_degree(), len(cs.permutation_columns) + 2)
+        max_deg = cs.required_degree()
         ext_factor = 1 << max(1, (max_deg - 1).bit_length())
         h_cms = [r.read_point() for _ in range(ext_factor)]
         x = r.squeeze_challenge()
         wx = x * omega % p
+        winv_x = x * pow(omega, p - 2, p) % p
 
         advice_evals = [r.read_scalar() for _ in range(cs.num_advice)]
         fixed_evals = [r.read_scalar() for _ in range(cs.num_fixed)]
         sigma_evals = [r.read_scalar() for _ in range(len(cs.permutation_columns))]
         zx = r.read_scalar()
         zwx = r.read_scalar()
+        lookup_evals = []
+        for _lk in cs.lookups:
+            if cs.lookup_type == "halo2":
+                lookup_evals.append({
+                    "ap_x": r.read_scalar(), "ap_winvx": r.read_scalar(),
+                    "sp_x": r.read_scalar(),
+                    "z_x": r.read_scalar(), "z_wx": r.read_scalar(),
+                })
+            else:
+                lookup_evals.append({
+                    "m_x": r.read_scalar(),
+                    "z_x": r.read_scalar(), "z_wx": r.read_scalar(),
+                })
+        shuffle_evals = [
+            {"z_x": r.read_scalar(), "z_wx": r.read_scalar()}
+            for _ in cs.shuffles
+        ]
         h_evals = None  # read after
 
         # instance evals at x computed from the public values
@@ -346,6 +643,21 @@ class PlonkVerifier:
         # permutation identities at x
         xn = pow(x, n, p)
         l0 = (xn - 1) * pow(n * (x - 1) % p, p - 2, p) % p
+
+        t_blind = cs.blinding_factors
+        u = cs.usable_rows(n)
+
+        def lag(i):
+            wi = pow(omega, i, p)
+            return wi * (xn - 1) % p * pow(n * (x - wi) % p, p - 2, p) % p
+
+        if t_blind:
+            l_last = lag(u)
+            l_blind = sum(lag(i) for i in range(u + 1, n)) % p
+            l_active = (1 - l_last - l_blind) % p
+        else:
+            l_last, l_active = 0, 1
+
         numx, denx = 1, 1
         col_eval = {"fixed": fixed_evals, "advice": advice_evals,
                     "instance": inst_evals}
@@ -354,9 +666,67 @@ class PlonkVerifier:
             numx = numx * ((v + beta * pk.deltas[j] % p * x + gamma) % p) % p
             denx = denx * ((v + beta * sigma_evals[j] + gamma) % p) % p
         perm_first = l0 * (zx - 1) % p
-        perm_trans = (zwx * denx - zx * numx) % p
-        for ident in (perm_first, perm_trans):
+        perm_trans = (zwx * denx - zx * numx) % p * l_active % p
+        perm_idents = [perm_first, perm_trans]
+        if t_blind:
+            perm_idents.append(l_last * (zx * zx - zx) % p)
+        for ident in perm_idents:
             acc = ident if acc is None else (acc * y + ident) % p
+
+        # lookup / shuffle identities at x
+        from tachyon_tpu.zk.plonk import lookup as lk_mod
+
+        for li, lk in enumerate(cs.lookups):
+            ev = lookup_evals[li]
+            a_x = lk_mod.compress_scalar(p, scal, lk.input_exprs, theta)
+            s_x = lk_mod.compress_scalar(p, scal, lk.table_exprs, theta)
+            idents = []
+            if cs.lookup_type == "halo2":
+                idents.append(l0 * (ev["z_x"] - 1) % p)
+                idents.append((
+                    ev["z_wx"] * ((ev["ap_x"] + beta) % p) % p
+                    * ((ev["sp_x"] + gamma) % p)
+                    - ev["z_x"] * ((a_x + beta) % p) % p
+                    * ((s_x + gamma) % p)
+                ) % p * l_active % p)
+                if t_blind:
+                    idents.append(
+                        l_last * (ev["z_x"] * ev["z_x"] - ev["z_x"]) % p
+                    )
+                diff = (ev["ap_x"] - ev["sp_x"]) % p
+                idents.append(l0 * diff % p)
+                idents.append(
+                    diff * ((ev["ap_x"] - ev["ap_winvx"]) % p) % p
+                    * l_active % p
+                )
+            else:
+                idents.append(l0 * ev["z_x"] % p)
+                ab = (a_x + beta) % p
+                sb = (s_x + beta) % p
+                idents.append((
+                    (ev["z_wx"] - ev["z_x"]) % p * ab % p * sb
+                    - (sb - ev["m_x"] * ab) % p
+                ) % p * l_active % p)
+                if t_blind:
+                    idents.append(l_last * ev["z_x"] % p)
+            for ident in idents:
+                acc = ident if acc is None else (acc * y + ident) % p
+        for si, sh in enumerate(cs.shuffles):
+            ev = shuffle_evals[si]
+            a_x = lk_mod.compress_scalar(p, scal, sh.input_exprs, theta)
+            s_x = lk_mod.compress_scalar(p, scal, sh.shuffle_exprs, theta)
+            sh_idents = [
+                l0 * (ev["z_x"] - 1) % p,
+                (ev["z_wx"] * ((s_x + gamma) % p)
+                 - ev["z_x"] * ((a_x + gamma) % p)) % p * l_active % p,
+            ]
+            if t_blind:
+                sh_idents.append(
+                    l_last * (ev["z_x"] * ev["z_x"] - ev["z_x"]) % p
+                )
+            for ident in sh_idents:
+                acc = ident if acc is None else (acc * y + ident) % p
+
         h_at_x = 0
         for i in reversed(range(ext_factor)):
             h_at_x = (h_at_x * xn + h_evals[i]) % p
@@ -372,9 +742,25 @@ class PlonkVerifier:
         for i, cm in enumerate(pk.sigma_commitments):
             openings.append(VerifierOpening(cm, (x,), (sigma_evals[i],)))
         openings.append(VerifierOpening(z_cm, (x, wx), (zx, zwx)))
+        for li in range(len(cs.lookups)):
+            ev = lookup_evals[li]
+            if cs.lookup_type == "halo2":
+                ap_cm, sp_cm = lookup_cms[li]
+                openings.append(VerifierOpening(
+                    ap_cm, (x, winv_x), (ev["ap_x"], ev["ap_winvx"])))
+                openings.append(VerifierOpening(sp_cm, (x,), (ev["sp_x"],)))
+            else:
+                (m_cm,) = lookup_cms[li]
+                openings.append(VerifierOpening(m_cm, (x,), (ev["m_x"],)))
+            openings.append(VerifierOpening(
+                lookup_z_cms[li], (x, wx), (ev["z_x"], ev["z_wx"])))
+        for si in range(len(cs.shuffles)):
+            ev = shuffle_evals[si]
+            openings.append(VerifierOpening(
+                shuffle_z_cms[si], (x, wx), (ev["z_x"], ev["z_wx"])))
         for i, cm in enumerate(h_cms):
             openings.append(VerifierOpening(cm, (x,), (h_evals[i],)))
-        return SHPlonk(self.params).verify_opening_proof(openings, r)
+        return self.pcs_cls(self.params).verify_opening_proof(openings, r)
 
 
 class _ScalarEvaluator:

@@ -46,3 +46,23 @@ def test_sharded_msm_matches_local(mesh, rng):
     local = curve.to_affine(msm(curve, points, sl, c=4))
     shard = curve.to_affine(msm_sharded(curve, mesh, points, sl, c=4))
     assert bool(np.asarray(curve.eq_affine(local, shard)).all())
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TACHYON_SLOW_TESTS"),
+    reason="2-D mesh MSM compile is ~1h on the 1-core host; "
+    "set TACHYON_SLOW_TESTS=1",
+)
+def test_sharded_msm_2d_matches_local(rng):
+    """points x windows 2-D mesh (reference kParallelWindowAndTerm analog)."""
+    from tests.test_msm import build_test_set
+    from jax.sharding import Mesh
+    from tachyon_tpu.parallel.msm_sharded import msm_sharded_2d
+
+    devs = np.array(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh2d = Mesh(devs, ("dp", "win"))
+    curve = curves.bn254_g1()
+    points, sl, pts, scalars = build_test_set(curve, 16, rng)
+    local = curve.to_affine(msm(curve, points, sl, c=4))
+    shard = curve.to_affine(msm_sharded_2d(curve, mesh2d, points, sl, c=4))
+    assert bool(np.asarray(curve.eq_affine(local, shard)).all())

@@ -96,3 +96,12 @@ def test_plonk_broken_copy_rejected(setup):
     proof = prover.prove(advice, instance)
     verifier = PlonkVerifier(params, pk)
     assert not verifier.verify(proof, instance)
+
+
+def test_plonk_gwc_roundtrip(setup):
+    params, cs, pk, cols = setup
+    advice, instance = _witness()
+    proof = PlonkProver(params, pk, pcs="gwc").prove(advice, instance)
+    assert PlonkVerifier(params, pk, pcs="gwc").verify(proof, instance)
+    # shplonk verifier must reject a gwc proof (different multiopen protocol)
+    assert not PlonkVerifier(params, pk, pcs="shplonk").verify(proof, instance)
