@@ -62,9 +62,10 @@ class CircleGroup:
 
     def double(self, a: CirclePoint) -> CirclePoint:
         F = self.F
+        one = F.ones(()).reshape((-1,) + (1,) * (a.x.ndim - 1))
         # (2x^2 - 1, 2xy)
         return CirclePoint(
-            F.sub(F.double(F.square(a.x)), F.ones(())),
+            F.sub(F.double(F.square(a.x)), one),
             F.double(F.mul(a.x, a.y)),
         )
 

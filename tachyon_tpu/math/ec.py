@@ -44,6 +44,7 @@ class SWCurve:
         self.name = name
         self.F = field
         self.a_int = a
+        self.b_int = b
         self.a = field.encode(a)
         self.b = field.encode(b)
         self.gen_x = gen_x

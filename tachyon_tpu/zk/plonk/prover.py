@@ -9,9 +9,9 @@ Features: permutation argument, halo2 + log-derivative lookups, shuffles,
 ZK blinding rows (cs.blinding_factors > 0), SHPlonk/GWC multiopen dispatch.
 Documented deviations (self-consistent prover+verifier, upstream-halo2
 bit-compat is a later milestone): single permutation grand product (halo2
-chunks by degree bound); no vanishing random poly; selectors are plain
-fixed columns (no selector compression); instance values absorbed as
-scalars.
+chunks by degree bound); no vanishing random poly; selector compression is
+an opt-in keygen pass (zk/plonk/selector.py) rather than automatic;
+instance values absorbed as scalars.
 
 All column algebra (FFTs, grand products, gate evaluation over the extended
 coset, vanishing division) is vectorized on device; transcript and
@@ -107,6 +107,28 @@ def keygen(params: kzg_mod.KZGParams, cs: ConstraintSystem, n: int,
     )
 
 
+def vk_transcript_repr(pk: ProvingKey) -> int:
+    """Domain-separating hash of the verifying key absorbed first into the
+    transcript (reference: keys/verifying_key.h:102-107 — blake2b of the
+    pinned VK string; here a structural hash of shape + commitments, the
+    full pinned stringifier is a bit-compat milestone)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+    cs = pk.cs
+    h.update(repr((
+        pk.n, cs.num_fixed, cs.num_advice, cs.num_instance,
+        len(cs.permutation_columns), len(cs.gates), len(cs.lookups),
+        len(cs.shuffles), cs.lookup_type, cs.blinding_factors,
+    )).encode())
+    for cm in list(pk.fixed_commitments) + list(pk.sigma_commitments):
+        x, y = (0, 0) if cm is None else cm
+        h.update(int(x).to_bytes(32, "little"))
+        h.update(int(y).to_bytes(32, "little"))
+    r = curves.bn254_fr().p
+    return int.from_bytes(h.digest(), "little") % r
+
+
 def _prefix_product(Fr, ratios: jnp.ndarray) -> jnp.ndarray:
     """z with z[0] = 1, z[i] = prod_{k<i} ratios[k] (exclusive scan)."""
     inc = jax.lax.associative_scan(Fr.mul, ratios, axis=1)
@@ -159,6 +181,7 @@ class PlonkProver:
             return [int(brng.integers(0, 1 << 62)) * int(
                 brng.integers(0, 1 << 62)) % p for _ in range(k)]
 
+        w.common_scalar(vk_transcript_repr(pk))
         instance_ints = [list(map(int, vals)) for vals in instance_values]
         for col in instance_ints:
             for v in col:
@@ -572,6 +595,7 @@ class PlonkVerifier:
         cs, n, p = pk.cs, pk.n, Fr.p
         omega = self.dom.omega_int
         r = TranscriptReader(proof, presets.BN254_FR, presets.BN254_FQ)
+        r.common_scalar(vk_transcript_repr(pk))
         for col in instance_values:
             for v in col:
                 r.common_scalar(int(v))

@@ -15,7 +15,7 @@ T = 4  # blinding factors -> usable rows = 11
 
 @pytest.fixture(scope="module")
 def setup():
-    params = kzg.unsafe_setup(2 * N, tau=0x77777)
+    params = kzg.unsafe_setup(N, tau=0x77777)
     cs = ConstraintSystem()
     cs.blinding_factors = T
     qm = cs.fixed_column()
@@ -74,7 +74,7 @@ def test_blinded_bad_witness_rejected(setup):
 
 
 def test_blinded_lookup(setup_unused=None):
-    params = kzg.unsafe_setup(2 * N, tau=0x88888)
+    params = kzg.unsafe_setup(N, tau=0x88888)
     cs = ConstraintSystem()
     cs.blinding_factors = T
     table = cs.fixed_column()
