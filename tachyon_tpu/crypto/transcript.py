@@ -24,6 +24,13 @@ import hashlib
 from tachyon_tpu.fields.spec import FieldSpec
 
 
+class ProofDecodeError(ValueError):
+    """Malformed proof bytes: non-canonical encoding, off-curve point, or
+    truncated buffer.  Verifiers catch this and return False (a malformed
+    proof must never crash a verifier or be accepted under a second
+    encoding — proof malleability)."""
+
+
 class Blake2bTranscript:
     """Writer/reader core: hash state + challenge derivation."""
 
@@ -82,6 +89,8 @@ def decompress_g1(data: bytes, base_spec: FieldSpec, b_coeff: int, legacy: bool 
     """inverse of compress_g1; returns (x, y) or None. b_coeff: curve b."""
     q = base_spec.p
     b = bytearray(data)
+    if len(data) * 8 < q.bit_length():
+        raise ProofDecodeError("truncated point encoding")
     if legacy:
         is_odd = b[-1] >> 7
         b[-1] &= 0x7F
@@ -95,10 +104,13 @@ def decompress_g1(data: bytes, base_spec: FieldSpec, b_coeff: int, legacy: bool 
         x = int.from_bytes(bytes(b), "little")
         if x == 0 and is_inf:
             return None
+    if x >= q:
+        # each point must have exactly one byte encoding
+        raise ProofDecodeError("non-canonical x coordinate (x >= q)")
     rhs = (x * x * x + b_coeff) % q
     y = pow(rhs, (q + 1) // 4, q)  # q % 4 == 3 for bn254
     if (y * y) % q != rhs:
-        raise ValueError("not on curve")
+        raise ProofDecodeError("not on curve")
     if (y & 1) != is_odd:
         y = q - y
     return (x, y)
@@ -133,19 +145,37 @@ class TranscriptReader(Blake2bTranscript):
         self.b_coeff = b_coeff
 
     def read_point(self):
-        nb = self.n_base_bytes
-        data = bytes(self.buf[self.off : self.off + nb])
-        self.off += nb
-        pt = decompress_g1(data, FieldSpecShim(self.q), self.b_coeff, self.legacy)
-        self.common_point(pt)
-        return pt
+        return _checked_read_point(self)
 
     def read_scalar(self) -> int:
-        nb = self.n_scalar_bytes
-        v = int.from_bytes(bytes(self.buf[self.off : self.off + nb]), "little")
-        self.off += nb
-        self.common_scalar(v)
-        return v
+        return _checked_read_scalar(self)
+
+
+def _take(reader, nb: int) -> bytes:
+    if reader.off + nb > len(reader.buf):
+        raise ProofDecodeError("truncated proof")
+    data = bytes(reader.buf[reader.off : reader.off + nb])
+    reader.off += nb
+    return data
+
+
+def _checked_read_point(reader):
+    data = _take(reader, reader.n_base_bytes)
+    pt = decompress_g1(
+        data, FieldSpecShim(reader.q), reader.b_coeff, reader.legacy
+    )
+    reader.common_point(pt)
+    return pt
+
+
+def _checked_read_scalar(reader) -> int:
+    v = int.from_bytes(_take(reader, reader.n_scalar_bytes), "little")
+    if v >= reader.r:
+        # reject v >= r: otherwise v and v % r absorb identically, giving
+        # every proof multiple byte encodings (malleability)
+        raise ProofDecodeError("non-canonical scalar (v >= r)")
+    reader.common_scalar(v)
+    return v
 
 
 class FieldSpecShim:
@@ -301,22 +331,9 @@ def make_reader(kind: str, proof: bytes, scalar_spec: FieldSpec,
             self.b_coeff = b_coeff
 
         def read_point(self):
-            nb = self.n_base_bytes
-            data = bytes(self.buf[self.off : self.off + nb])
-            self.off += nb
-            pt = decompress_g1(
-                data, FieldSpecShim(self.q), self.b_coeff, self.legacy
-            )
-            self.common_point(pt)
-            return pt
+            return _checked_read_point(self)
 
         def read_scalar(self) -> int:
-            nb = self.n_scalar_bytes
-            v = int.from_bytes(
-                bytes(self.buf[self.off : self.off + nb]), "little"
-            )
-            self.off += nb
-            self.common_scalar(v)
-            return v
+            return _checked_read_scalar(self)
 
     return _Reader()

@@ -50,14 +50,17 @@ def _load():
         ctypes.POINTER(_MappedFile), ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_uint32, u32p,
     ]
+    lib.zk_repack_limbs.restype = ctypes.c_int
     lib.zk_repack_limbs_strided.argtypes = [
         ctypes.POINTER(_MappedFile), ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, u32p,
     ]
+    lib.zk_repack_limbs_strided.restype = ctypes.c_int
     lib.zk_gather_u32.argtypes = [
         ctypes.POINTER(_MappedFile), ctypes.c_uint64, ctypes.c_uint64,
         ctypes.c_uint32, ctypes.c_uint32, u32p,
     ]
+    lib.zk_gather_u32.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -90,25 +93,37 @@ class NativeFile:
         return (off, size.value) if off else (None, 0)
 
     def repack_limbs(self, off: int, n: int, n8: int) -> np.ndarray:
-        out = np.empty((n8 // 2, n), dtype=np.uint32)
-        self._lib.zk_repack_limbs(
-            ctypes.byref(self._f), off, n, n8, np.ascontiguousarray(out)
+        out = np.ascontiguousarray(np.empty((n8 // 2, n), dtype=np.uint32))
+        rc = self._lib.zk_repack_limbs(
+            ctypes.byref(self._f), off, n, n8, out
         )
+        if rc != 0:
+            raise ValueError(
+                f"truncated file: repack [{off}, +{n}*{n8}] out of bounds")
         return out
 
     def repack_limbs_strided(self, off, n, stride, value_off, n8) -> np.ndarray:
         out = np.empty((n8 // 2, n), dtype=np.uint32)
-        self._lib.zk_repack_limbs_strided(
+        rc = self._lib.zk_repack_limbs_strided(
             ctypes.byref(self._f), off, n, stride, value_off, n8, out
         )
+        if rc != 0:
+            raise ValueError(
+                f"truncated file: strided repack at {off} out of bounds")
         return out
 
     def gather_u32(self, off, n, stride, field_off) -> np.ndarray:
         out = np.empty((n,), dtype=np.uint32)
-        self._lib.zk_gather_u32(
+        rc = self._lib.zk_gather_u32(
             ctypes.byref(self._f), off, n, stride, field_off, out
         )
+        if rc != 0:
+            raise ValueError(
+                f"truncated file: gather at {off} out of bounds")
         return out
 
     def read_bytes(self, off: int, n: int) -> bytes:
+        if off < 0 or n < 0 or off + n > self._f.size:
+            raise ValueError(
+                f"read_bytes [{off}, +{n}] exceeds file size {self._f.size}")
         return ctypes.string_at(self._f.data + off, n)

@@ -15,6 +15,7 @@ Pipeline (hot path all on TPU):
 """
 from __future__ import annotations
 
+import secrets
 from typing import NamedTuple
 
 import numpy as np
@@ -121,11 +122,30 @@ class CircomGroth16Prover:
 
     # ------------------------------------------------------------------- prove
     def prove(
-        self, witness_std: np.ndarray, r: int = 0, s: int = 0
+        self,
+        witness_std: np.ndarray,
+        r: int | None = None,
+        s: int | None = None,
+        *,
+        deterministic: bool = False,
     ) -> Groth16Proof:
-        """witness_std: (L, num_vars) standard-form limbs (from wtns)."""
+        """witness_std: (L, num_vars) standard-form limbs (from wtns).
+
+        r/s default to fresh CSPRNG scalars (the reference samples fresh
+        blinding per proof, zk/r1cs/groth16/prove.h).  Pass
+        deterministic=True for a reproducible non-ZK test proof (r=s=0,
+        reference prove.h:179 no-ZK mode).
+        """
         zk = self.zkey
         F = self.Fr
+        if deterministic:
+            r = 0 if r is None else r
+            s = 0 if s is None else s
+        else:
+            if r is None:
+                r = secrets.randbelow(F.p)
+            if s is None:
+                s = secrets.randbelow(F.p)
         from tachyon_tpu.ops import mont
 
         w_std = jnp.asarray(witness_std)
