@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import secrets
 import sys
 import time
 
@@ -57,16 +56,13 @@ def cmd_prove(args) -> int:
     print(f"parse wtns: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     prover = CircomGroth16Prover(zkey)
-    r = self_s = 0
     proof = None
     for i in range(args.num_runs):
-        if not args.no_zk:
-            r = secrets.randbelow(prover.Fr.p)
-            self_s = secrets.randbelow(prover.Fr.p)
         t0 = time.perf_counter()
         with profiler.trace_event(profiler.CATEGORY_PROOF_GENERATION,
                                   "groth16_prove"):
-            proof = prover.prove(wtns, r=r, s=self_s)
+            # prove() samples fresh CSPRNG r/s unless deterministic
+            proof = prover.prove(wtns, deterministic=args.no_zk)
         print(f"prove[{i}]: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     pub = [limbs_to_int(wtns[:, i + 1]) for i in range(zkey.num_public)]

@@ -66,6 +66,24 @@ class ConstraintSystem:
     # convention: rows [n-t-1, n) are the "last" row + t blind rows;
     # 0 = deterministic proofs)
     blinding_factors: int = 0
+    # halo2-compatible query tracking (reference: constraint_system.h
+    # advice_queries_/fixed_queries_/instance_queries_; indices feed the
+    # pinned VK stringifier and the per-query proof layout).  Entries are
+    # (column_index, rotation) in first-registration order.
+    advice_queries: list = dataclasses.field(default_factory=list)
+    fixed_queries: list = dataclasses.field(default_factory=list)
+    instance_queries: list = dataclasses.field(default_factory=list)
+    # columns usable for constant assignment (halo2 meta.enable_constant)
+    constants: list = dataclasses.field(default_factory=list)
+    # selector bookkeeping (count survives selector compression for the
+    # pinned VK string; reference: constraint_system.h GetNumSelectors)
+    num_selectors: int = 0
+    minimum_degree: int | None = None
+    # virtual selectors (halo2 path): True per selector iff simple
+    # (reference: constraint_system.h CreateSimpleSelector/CreateComplexSelector)
+    selectors: list = dataclasses.field(default_factory=list)
+    # post-compression: selector index -> fixed ColumnRef
+    selector_map: list = dataclasses.field(default_factory=list)
 
     def usable_rows(self, n: int) -> int:
         """index u of the 'last' row: active rows are [0, u), blind rows
@@ -89,6 +107,147 @@ class ConstraintSystem:
     def enable_equality(self, col: ColumnRef):
         if col not in self.permutation_columns:
             self.permutation_columns.append(col)
+        # halo2 enable_equality registers a Rotation::cur query immediately
+        # (halo2 circuit.rs query_any_index); keeps query-index parity
+        self.query_index(col, 0)
+
+    def enable_constant(self, col: ColumnRef):
+        """register a fixed column for constant assignment
+        (halo2 meta.enable_constant: adds to constants + enables equality)."""
+        assert col.kind == "fixed"
+        if col not in self.constants:
+            self.constants.append(col)
+        self.enable_equality(col)
+
+    def query_index(self, col: ColumnRef, rotation: int = 0) -> int:
+        """dedup-register a (column, rotation) query; returns its index
+        (reference: constraint_system.h QueryAdviceIndex etc.)."""
+        table = {
+            "fixed": self.fixed_queries,
+            "advice": self.advice_queries,
+            "instance": self.instance_queries,
+        }[col.kind]
+        key = (col.index, rotation)
+        if key in table:
+            return table.index(key)
+        table.append(key)
+        return len(table) - 1
+
+    def create_simple_selector(self) -> ex.Selector:
+        """Simple selector: multiplied at the top of a gate, eligible for
+        combination during compression (halo2 meta.selector())."""
+        self.selectors.append(True)
+        self.num_selectors = len(self.selectors)
+        return ex.Selector(len(self.selectors) - 1, True)
+
+    def create_complex_selector(self) -> ex.Selector:
+        """Complex selector: may appear anywhere (lookups); compressed to
+        its own 0/1 fixed column (halo2 meta.complex_selector())."""
+        self.selectors.append(False)
+        self.num_selectors = len(self.selectors)
+        return ex.Selector(len(self.selectors) - 1, False)
+
+    def query_selector(self, sel: ex.Selector) -> ex.Selector:
+        return sel
+
+    def compute_blinding_factors(self) -> int:
+        """reference: constraint_system.h:700-735 ComputeBlindingFactors:
+        max(3, max #queries of any one advice column) + 2."""
+        counts = {}
+        for c, _r in self.advice_queries:
+            counts[c] = counts.get(c, 0) + 1
+        factors = max(counts.values()) if counts else 1
+        factors = max(3, factors)
+        return factors + 2
+
+    def compute_extended_k(self, k: int) -> int:
+        """max(ceil(log2(n * (d - 1))), k)
+        (reference: constraint_system.h:691-696 ComputeExtendedK)."""
+        q = self.required_degree() - 1
+        val = (1 << k) * q
+        return max((val - 1).bit_length(), k)
+
+    # --- selector compression (halo2 keygen path) -------------------------
+    def _extract_simple_selector(self, e):
+        """the unique simple Selector inside a gate poly, or None
+        (reference: expressions ExtractSimpleSelector; halo2
+        extract_simple_selector)."""
+
+        def merge(a, b):
+            if a is not None and b is not None and a != b:
+                raise ValueError("two simple selectors in one gate poly")
+            return a if a is not None else b
+
+        if isinstance(e, ex.Selector):
+            return e if e.is_simple else None
+        if isinstance(e, (ex.Negated, ex.Scaled)):
+            return self._extract_simple_selector(e.expr)
+        if isinstance(e, (ex.Sum, ex.Product)):
+            return merge(self._extract_simple_selector(e.left),
+                         self._extract_simple_selector(e.right))
+        return None
+
+    def compress_selectors(self, selector_activations: list) -> list:
+        """Compress virtual selectors into fixed 'combination' columns.
+
+        selector_activations: list (per selector) of list[bool] length n.
+        Appends new fixed columns to the system, rewrites every Selector
+        expression, fills selector_map, and returns the new columns' values
+        (list of list[int]) to append after the circuit's fixed columns
+        (reference: constraint_system.h:481-536 CompressSelectors,
+        keys/key.h:104-111)."""
+        from tachyon_tpu.zk.plonk.selector import compress_selectors_exact
+
+        assert len(selector_activations) == len(self.selectors)
+        degrees = [0] * len(self.selectors)
+        for g in self.gates:
+            for poly in g.polys:
+                sel = self._extract_simple_selector(poly)
+                if sel is not None:
+                    degrees[sel.index] = max(degrees[sel.index],
+                                             ex.degree(poly))
+
+        new_cols: list[ColumnRef] = []
+
+        def allocate():
+            col = self.fixed_column()
+            new_cols.append(col)
+            self.query_index(col, 0)
+            return ex.Fixed(col.index, 0)
+
+        combination_assignments, selector_assignments = (
+            compress_selectors_exact(selector_activations, degrees,
+                                     self.required_degree(), allocate))
+        replacements = [None] * len(self.selectors)
+        self.selector_map = [None] * len(self.selectors)
+        for a in selector_assignments:
+            replacements[a.selector_index] = a.expression
+            self.selector_map[a.selector_index] = new_cols[a.combination_index]
+
+        def substitute(e):
+            if isinstance(e, ex.Selector):
+                r = replacements[e.index]
+                assert r is not None
+                return r
+            if isinstance(e, ex.Negated):
+                return ex.Negated(substitute(e.expr))
+            if isinstance(e, ex.Scaled):
+                return ex.Scaled(substitute(e.expr), e.scale)
+            if isinstance(e, ex.Sum):
+                return ex.Sum(substitute(e.left), substitute(e.right))
+            if isinstance(e, ex.Product):
+                return ex.Product(substitute(e.left), substitute(e.right))
+            return e
+
+        for g in self.gates:
+            g.polys = [substitute(p) for p in g.polys]
+        for lk in self.lookups:
+            lk.input_exprs = [substitute(e) for e in lk.input_exprs]
+            lk.table_exprs = [substitute(e) for e in lk.table_exprs]
+        for sh in self.shuffles:
+            sh.input_exprs = [substitute(e) for e in sh.input_exprs]
+            sh.shuffle_exprs = [substitute(e) for e in sh.shuffle_exprs]
+        return combination_assignments
 
     def create_gate(self, name: str, polys: list):
         self.gates.append(Gate(name, polys))
@@ -110,11 +269,42 @@ class ConstraintSystem:
         self.copies.append((a, b))
 
     def query(self, col: ColumnRef, rotation: int = 0):
+        self.query_index(col, rotation)
         if col.kind == "fixed":
             return ex.Fixed(col.index, rotation)
         if col.kind == "advice":
             return ex.Advice(col.index, rotation)
         return ex.Instance(col.index, rotation)
+
+    def collect_queries(self):
+        """register any queries appearing in gate/lookup/shuffle expressions
+        that were built without cs.query() (keeps the stringifier total)."""
+
+        def walk(e):
+            if isinstance(e, ex.Fixed):
+                self.query_index(ColumnRef("fixed", e.column), e.rotation)
+            elif isinstance(e, ex.Advice):
+                self.query_index(ColumnRef("advice", e.column), e.rotation)
+            elif isinstance(e, ex.Instance):
+                self.query_index(ColumnRef("instance", e.column), e.rotation)
+            elif isinstance(e, (ex.Negated, ex.Scaled)):
+                walk(e.expr)
+            elif isinstance(e, (ex.Sum, ex.Product)):
+                walk(e.left)
+                walk(e.right)
+
+        for g in self.gates:
+            for p in g.polys:
+                walk(p)
+        for lk in self.lookups:
+            for e in list(lk.input_exprs) + list(lk.table_exprs):
+                walk(e)
+        for sh in self.shuffles:
+            for e in list(sh.input_exprs) + list(sh.shuffle_exprs):
+                walk(e)
+        # every permutation column needs its cur query registered
+        for col in self.permutation_columns:
+            self.query_index(col, 0)
 
     def max_gate_degree(self) -> int:
         return max(
@@ -123,26 +313,51 @@ class ConstraintSystem:
 
     def required_degree(self) -> int:
         """max identity degree across gates/permutation/lookups/shuffles
-        (reference: constraint_system.h ComputeDegree)."""
+        (reference: constraint_system.h ComputeDegree; halo2 cs.degree()).
+
+        Per-component accounting matches halo2: transition identities gain
+        the l_active (1 - l_last - l_blind) factor only when blinding is
+        on; gates are never masked (selector discipline keeps them zero on
+        blind rows).  With blinding the permutation argument is CHUNKED
+        (halo2 permutation::Argument::required_degree == 3): chunk length
+        adapts to the final degree, so it contributes the floor 3 rather
+        than num_columns + 2."""
+        act = 1 if self.blinding_factors > 0 else 0
         deg = max(self.max_gate_degree(), 2)
         if self.permutation_columns:
-            deg = max(deg, len(self.permutation_columns) + 2)
+            if self.blinding_factors > 0:
+                deg = max(deg, 3)
+            else:
+                # deterministic mode: single full-width grand product
+                deg = max(deg, len(self.permutation_columns) + 2)
         for lk in self.lookups:
             din = max((ex.degree(e) for e in lk.input_exprs), default=1)
             dtb = max((ex.degree(e) for e in lk.table_exprs), default=1)
             if self.lookup_type == "halo2":
-                # z(wx)(a'+beta)(s'+gamma) vs z(x)(A+beta)(S+gamma)
-                deg = max(deg, 3, 1 + din + dtb)
+                # act * z(wx)(a'+beta)(s'+gamma) vs act * z(x)(A+b)(S+g)
+                deg = max(deg, 3 + act, 1 + act + din + dtb)
             else:
-                # (phi(wx)-phi(x))(A+beta)(S+beta) - ((S+beta) - m(A+beta))
-                deg = max(deg, 1 + din + dtb, 2)
+                # act * ((phi(wx)-phi(x))(A+b)(S+b) - ((S+b) - m(A+b)))
+                deg = max(deg, 1 + act + din + dtb, 2)
         for sh in self.shuffles:
             din = max((ex.degree(e) for e in sh.input_exprs), default=1)
             dsh = max((ex.degree(e) for e in sh.shuffle_exprs), default=1)
-            deg = max(deg, 1 + max(din, dsh, 1))
-        if self.blinding_factors > 0:
-            deg += 1  # every transition identity gains the l_active factor
+            deg = max(deg, 1 + act + max(din, dsh, 1))
+        if self.minimum_degree is not None:
+            deg = max(deg, self.minimum_degree)
         return deg
+
+    def permutation_chunk_len(self) -> int:
+        """columns per permutation grand-product chunk
+        (halo2: degree - 2; unchunked when blinding is off)."""
+        if self.blinding_factors == 0:
+            return max(len(self.permutation_columns), 1)
+        return max(self.required_degree() - 2, 1)
+
+    def permutation_chunks(self) -> list:
+        cl = self.permutation_chunk_len()
+        cols = self.permutation_columns
+        return [cols[i : i + cl] for i in range(0, len(cols), cl)]
 
 
 class CycleStore:

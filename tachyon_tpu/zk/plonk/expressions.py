@@ -45,6 +45,16 @@ class Challenge:
 
 
 @dataclasses.dataclass(frozen=True)
+class Selector:
+    """Virtual selector reference (halo2 Expression::Selector; reference:
+    tachyon/zk/expressions/expression.h kSelector).  Only valid before
+    selector compression (keygen replaces every Selector with a fixed-column
+    interpolation expression); evaluating one raises."""
+    index: int
+    is_simple: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class Negated:
     expr: "Expr"
 
@@ -67,14 +77,15 @@ class Scaled:
     scale: int
 
 
-Expr = Union[Constant, Fixed, Advice, Instance, Challenge, Negated, Sum, Product, Scaled]
+Expr = Union[Constant, Fixed, Advice, Instance, Challenge, Selector, Negated,
+             Sum, Product, Scaled]
 
 
 def degree(e: Expr) -> int:
     """polynomial degree in the trace columns (reference: expression.h Degree)."""
     if isinstance(e, (Constant, Challenge)):
         return 0
-    if isinstance(e, (Fixed, Advice, Instance)):
+    if isinstance(e, (Fixed, Advice, Instance, Selector)):
         return 1
     if isinstance(e, Negated):
         return degree(e.expr)

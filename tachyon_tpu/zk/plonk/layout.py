@@ -1,10 +1,10 @@
-"""Circuit synthesis API: Layouter / Region / SimpleFloorPlanner.
+"""Circuit synthesis API: Layouter / Region / floor planners.
 
 Analog of the reference's halo2 layout layer
 (reference: tachyon/zk/plonk/layout/layouter.h, region.h,
-floor_planner/simple_floor_planner.h, floor_planner/v1/ — the V1 planner's
-region-packing optimization is a round-2 item; this is the Simple planner:
-regions are laid out sequentially from row 0).
+floor_planner/simple_floor_planner.h — sequential placement — and
+floor_planner/v1/ — the two-pass measure-then-pack planner with the
+slot-in-biggest-advice-first strategy, v1/v1_strategy.h).
 
 Usage mirrors halo2:
 
@@ -43,6 +43,16 @@ class Assignment:
         self.instance = [
             np.zeros(n, dtype=object) for _ in range(cs.num_instance)
         ]
+        # virtual selector activations (halo2 Assembly::selectors;
+        # reference: zk/plonk/keys/assembly.h) — compressed into fixed
+        # columns at keygen
+        self.selectors = [
+            [False] * n for _ in range(len(getattr(cs, "selectors", [])))
+        ]
+
+    def enable_selector(self, sel, row: int):
+        assert 0 <= row < self.n
+        self.selectors[sel.index][row] = True
 
     def set(self, col: ColumnRef, row: int, value: int):
         assert 0 <= row < self.n, f"row {row} out of range"
@@ -64,9 +74,26 @@ class Region:
         self._p = planner
         self.start = start
         self.rows_used = 0
+        # (value, advice Cell) pairs the layouter copies into the constants
+        # column after the region completes (reference:
+        # single_chip_layouter.h:103-126)
+        self.constants: list = []
 
     def _touch(self, offset: int):
         self.rows_used = max(self.rows_used, offset + 1)
+
+    def enable_selector(self, sel, offset: int):
+        self._touch(offset)
+        self._p.assignment.enable_selector(sel, self.start + offset)
+
+    def assign_advice_from_constant(
+        self, value: int, col: ColumnRef, offset: int
+    ) -> Cell:
+        """assign an advice cell to a constant; the layouter pins it against
+        the constants fixed column (halo2 assign_advice_from_constant)."""
+        cell = self.assign_advice(col, offset, value)
+        self.constants.append((int(value), cell))
+        return cell
 
     def assign_advice(self, col: ColumnRef, offset: int, value: int) -> Cell:
         assert col.kind == "advice"
@@ -94,20 +121,45 @@ class Region:
 
 
 class SimpleFloorPlanner:
-    """Sequential region placement (simple_floor_planner.h): each region
-    starts at the next free row."""
+    """Reference-exact simple floor planner (reference:
+    floor_planner/simple_floor_planner.h + single_chip_layouter.h:49-127).
+
+    Each region runs a measurement pass (column footprint + height), is
+    placed at the earliest row at which none of ITS columns are in use
+    (per-column cursors, NOT a global cursor), then runs the assignment
+    pass.  Constants collected by the region are assigned in order into the
+    first constants column, advancing that column's cursor."""
 
     def __init__(self, cs: ConstraintSystem, n: int):
         self.cs = cs
         self.n = n
         self.assignment = Assignment(cs, n)
-        self._cursor = 0
+        # RegionColumn -> next free row; keys are ColumnRef or
+        # ("selector", index)
+        self._columns: dict = {}
+        self.region_starts: list[int] = []
 
     # Layouter surface ------------------------------------------------------
     def assign_region(self, name: str, fn: Callable[[Region], object]):
-        region = Region(self, self._cursor)
+        shape = _ShapeRegion()
+        fn(shape)
+        start = max(
+            (self._columns.get(c, 0) for c in shape.columns), default=0
+        )
+        self.region_starts.append(start)
+        for c in shape.columns:
+            self._columns[c] = start + shape.rows_used
+        region = Region(self, start)
         out = fn(region)
-        self._cursor += region.rows_used
+        if region.constants:
+            assert self.cs.constants, "no columns for constants"
+            ccol = self.cs.constants[0]
+            row = self._columns.get(ccol, 0)
+            for value, cell in region.constants:
+                self.assignment.set(ccol, row, value)
+                self.cs.copy((ccol, row), (cell.column, cell.row))
+                row += 1
+            self._columns[ccol] = row
         return out
 
     def constrain_instance(self, cell: Cell, inst: ColumnRef, row: int):
@@ -119,3 +171,171 @@ class SimpleFloorPlanner:
     def synthesize(self, circuit, config):
         circuit.synthesize(config, self)
         return self.assignment
+
+
+class _ShapeRegion:
+    """Measurement-pass region: records the column/row footprint without
+    assigning (reference: floor_planner/v1/measurement_pass.h
+    RegionShape)."""
+
+    def __init__(self):
+        self.columns: set = set()
+        self.rows_used = 0
+        self.advice_cells = 0
+
+    def _touch(self, col: ColumnRef, offset: int):
+        self.columns.add(col)
+        self.rows_used = max(self.rows_used, offset + 1)
+
+    def assign_advice(self, col: ColumnRef, offset: int, value: int) -> Cell:
+        self._touch(col, offset)
+        self.advice_cells += 1
+        return Cell(col, offset)  # placeholder cell; ignored downstream
+
+    def assign_fixed(self, col: ColumnRef, offset: int, value: int) -> Cell:
+        self._touch(col, offset)
+        return Cell(col, offset)
+
+    def assign_advice_from_instance(self, inst, inst_row, col, offset) -> Cell:
+        self._touch(col, offset)
+        self.advice_cells += 1
+        return Cell(col, offset)
+
+    def assign_advice_from_constant(self, value, col, offset) -> Cell:
+        self._touch(col, offset)
+        self.advice_cells += 1
+        return Cell(col, offset)
+
+    def enable_selector(self, sel, offset: int):
+        self.columns.add(("selector", sel.index))
+        self.rows_used = max(self.rows_used, offset + 1)
+
+    def constrain_equal(self, a: Cell, b: Cell):
+        pass  # copies recorded in the assignment pass only
+
+
+class V1FloorPlanner:
+    """Two-pass floor planner (reference: floor_planner/v1/v1_pass.h):
+
+    pass 1 measures every region's column footprint and height; regions
+    are then packed with the slot-in-biggest-advice-first strategy
+    (v1/v1_strategy.h): sort by advice-cell count descending, place each
+    at the earliest start where all its columns are free; pass 2 replays
+    synthesis with the packed starts.  Dense circuits with disjoint
+    column footprints pack into fewer rows than the Simple planner."""
+
+    def __init__(self, cs: ConstraintSystem, n: int):
+        self.cs = cs
+        self.n = n
+        self.assignment = Assignment(cs, n)
+        self._measuring = True
+        self._shapes: list[_ShapeRegion] = []
+        self._starts: list[int] = []
+        self._region_idx = 0
+
+    # Layouter surface ------------------------------------------------------
+    def assign_region(self, name: str, fn: Callable[[Region], object]):
+        if self._measuring:
+            shape = _ShapeRegion()
+            out = fn(shape)
+            self._shapes.append(shape)
+            return out
+        region = Region(self, self._starts[self._region_idx])
+        self._region_idx += 1
+        return fn(region)
+
+    def constrain_instance(self, cell: Cell, inst: ColumnRef, row: int):
+        if not self._measuring:
+            self.cs.copy((cell.column, cell.row), (inst, row))
+
+    def set_instance(self, inst: ColumnRef, row: int, value: int):
+        if not self._measuring:
+            self.assignment.set(inst, row, value)
+
+    def _pack(self):
+        """slot-in biggest-advice-first (v1/v1_strategy.h SlotIn)."""
+        order = sorted(
+            range(len(self._shapes)),
+            key=lambda i: -self._shapes[i].advice_cells,
+        )
+        # per-column occupied intervals [start, end)
+        occupied: dict = {}
+        starts = [0] * len(self._shapes)
+        for i in order:
+            shape = self._shapes[i]
+            h = max(shape.rows_used, 1)
+            start = 0
+            while True:
+                clash = None
+                for col in shape.columns:
+                    for s, e in occupied.get(col, ()):  # few regions: O(k)
+                        if start < e and s < start + h:
+                            clash = e
+                            break
+                    if clash is not None:
+                        break
+                if clash is None:
+                    break
+                start = clash
+            starts[i] = start
+            for col in shape.columns:
+                occupied.setdefault(col, []).append((start, start + h))
+        self._starts = starts
+
+    def synthesize(self, circuit, config):
+        self._measuring = True
+        self._shapes = []
+        circuit.synthesize(config, self)  # measurement pass
+        self._pack()
+        self._measuring = False
+        self._region_idx = 0
+        circuit.synthesize(config, self)  # assignment pass
+        return self.assignment
+
+
+class LookupTable:
+    """Lookup-table assignment surface (reference:
+    layout/lookup_table.h + floor_planner/simple_lookup_table_layouter.h).
+    Cells are assigned at absolute rows; after the callback the layouter
+    fills [first_unused, usable_rows) of each column with its row-0
+    default value (lookup_table_assigner.h:75-84)."""
+
+    def __init__(self, assignment: Assignment):
+        self._a = assignment
+        self.columns: dict = {}  # ColumnRef -> {row: value}
+
+    def assign_cell(self, col: ColumnRef, row: int, value: int):
+        assert col.kind == "fixed"
+        self._a.set(col, row, value)
+        self.columns.setdefault(col, {})[row] = int(value)
+
+
+def _assign_lookup_table(planner, fn):
+    table = LookupTable(planner.assignment)
+    fn(table)
+    n = planner.n
+    usable = n - (planner.cs.blinding_factors + 1) \
+        if planner.cs.blinding_factors else n
+    for col, cells in table.columns.items():
+        first_unused = max(cells) + 1
+        assert set(cells) == set(range(first_unused)), \
+            "table column has gaps"
+        default = cells[0]
+        for row in range(first_unused, usable):
+            planner.assignment.set(col, row, default)
+
+
+def _planner_assign_lookup_table(self, name, fn):
+    _assign_lookup_table(self, fn)
+
+
+SimpleFloorPlanner.assign_lookup_table = _planner_assign_lookup_table
+
+
+def _v1_assign_lookup_table(self, name, fn):
+    if self._measuring:
+        return
+    _assign_lookup_table(self, fn)
+
+
+V1FloorPlanner.assign_lookup_table = _v1_assign_lookup_table

@@ -19,6 +19,7 @@ challenges are exact host logic (blake2b, halo2-compatible encoding).
 """
 from __future__ import annotations
 
+import secrets
 from typing import NamedTuple
 
 import numpy as np
@@ -32,7 +33,11 @@ from tachyon_tpu.crypto.multiopen import (
     SHPlonk,
     VerifierOpening,
 )
-from tachyon_tpu.crypto.transcript import TranscriptReader, TranscriptWriter
+from tachyon_tpu.crypto.transcript import (
+    ProofDecodeError,
+    TranscriptReader,
+    TranscriptWriter,
+)
 from tachyon_tpu.fields import presets
 from tachyon_tpu.math import curves, poly as poly_mod
 from tachyon_tpu.math.ntt import Radix2Domain
@@ -108,25 +113,25 @@ def keygen(params: kzg_mod.KZGParams, cs: ConstraintSystem, n: int,
 
 
 def vk_transcript_repr(pk: ProvingKey) -> int:
-    """Domain-separating hash of the verifying key absorbed first into the
-    transcript (reference: keys/verifying_key.h:102-107 — blake2b of the
-    pinned VK string; here a structural hash of shape + commitments, the
-    full pinned stringifier is a bit-compat milestone)."""
-    import hashlib
+    """Transcript representative of the verifying key: blake2b of the
+    pinned VK Rust-Debug string, halo2-bit-compatible
+    (reference: keys/verifying_key.h:102-124 SetTranscriptRepresentative;
+    string format zk/plonk/halo2/pinned_verifying_key.h)."""
+    from tachyon_tpu.zk.plonk import stringifier
 
-    h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
-    cs = pk.cs
-    h.update(repr((
-        pk.n, cs.num_fixed, cs.num_advice, cs.num_instance,
-        len(cs.permutation_columns), len(cs.gates), len(cs.lookups),
-        len(cs.shuffles), cs.lookup_type, cs.blinding_factors,
-    )).encode())
-    for cm in list(pk.fixed_commitments) + list(pk.sigma_commitments):
-        x, y = (0, 0) if cm is None else cm
-        h.update(int(x).to_bytes(32, "little"))
-        h.update(int(y).to_bytes(32, "little"))
-    r = curves.bn254_fr().p
-    return int.from_bytes(h.digest(), "little") % r
+    Fr = curves.bn254_fr()
+    Fq = curves.bn254_fq()
+    dom = Radix2Domain(Fr, pk.n)
+    k = pk.n.bit_length() - 1
+    max_deg = pk.cs.required_degree()
+    ext_factor = 1 << max(1, (max_deg - 1).bit_length())
+    extended_k = k + (ext_factor.bit_length() - 1)
+    vk_str = stringifier.pinned_vk_str(
+        pk.cs, k, extended_k, dom.omega_int,
+        pk.fixed_commitments, pk.sigma_commitments,
+        base_modulus=Fq.p, scalar_modulus=Fr.p,
+    )
+    return stringifier.transcript_repr_from_str(vk_str, Fr.p)
 
 
 def _prefix_product(Fr, ratios: jnp.ndarray) -> jnp.ndarray:
@@ -175,11 +180,11 @@ class PlonkProver:
 
         t_blind = cs.blinding_factors
         u = cs.usable_rows(n)
-        brng = np.random.default_rng()  # fresh per proof
-
         def rand_ints(k):
-            return [int(brng.integers(0, 1 << 62)) * int(
-                brng.integers(0, 1 << 62)) % p for _ in range(k)]
+            # ZK blinding must be full-width uniform from a CSPRNG
+            # (halo2 uses F::random over an OS RNG); secrets.randbelow is
+            # uniform in [0, p) and unpredictable.
+            return [secrets.randbelow(p) for _ in range(k)]
 
         w.common_scalar(vk_transcript_repr(pk))
         instance_ints = [list(map(int, vals)) for vals in instance_values]
@@ -272,15 +277,6 @@ class PlonkProver:
         omega_pows = dom.shift_powers(omega, n)  # (L, n): w^i
         beta_e = Fr.full((n,), beta)
         gamma_e = Fr.full((n,), gamma)
-        num = Fr.ones((n,))
-        den = Fr.ones((n,))
-        for j, col in enumerate(cs.permutation_columns):
-            v = col_evals(col)
-            dj = Fr.full((), pk.deltas[j])[:, None]
-            t_num = Fr.add(Fr.add(v, Fr.mul(beta_e, Fr.mul(dj, omega_pows))), gamma_e)
-            t_den = Fr.add(Fr.add(v, Fr.mul(beta_e, pk.sigma_evals[j])), gamma_e)
-            num = Fr.mul(num, t_num)
-            den = Fr.mul(den, t_den)
         idx_row = jnp.arange(n)
         active_mask = idx_row < u  # (n,)
 
@@ -299,11 +295,39 @@ class PlonkProver:
             rz = Fr.encode(np.array(rand_ints(n), dtype=object))
             return Fr.select(idx_row > u, rz, z)
 
-        ratios = mask_ratios(Fr.mul(num, Fr.batch_inverse(den, axis=1)))
-        z_evals = blind_z(_prefix_product(Fr, ratios))
-        z_coeffs = dom.ifft(z_evals)
-        z_cm = self._commit_evals(z_evals)
-        w.write_point(z_cm)
+        # chunked grand products (halo2 permutation/prover.rs: chunk_len =
+        # degree - 2 columns per Z poly; each chunk's Z starts from the
+        # previous chunk's closing value at row u, stitched by the
+        # l_0 * (z_c - z_{c-1}(w^last X)) constraint)
+        chunks = cs.permutation_chunks()
+        perm_z = []  # per chunk: dict(evals, coeffs, cm)
+        last_z = 1
+        j = 0
+        for chunk in chunks:
+            num = Fr.ones((n,))
+            den = Fr.ones((n,))
+            for col in chunk:
+                v = col_evals(col)
+                dj = Fr.full((), pk.deltas[j])[:, None]
+                num = Fr.mul(num, Fr.add(
+                    Fr.add(v, Fr.mul(beta_e, Fr.mul(dj, omega_pows))),
+                    gamma_e))
+                den = Fr.mul(den, Fr.add(
+                    Fr.add(v, Fr.mul(beta_e, pk.sigma_evals[j])), gamma_e))
+                j += 1
+            ratios = mask_ratios(Fr.mul(num, Fr.batch_inverse(den, axis=1)))
+            z = _prefix_product(Fr, ratios)
+            if last_z != 1:
+                z = Fr.mul(z, Fr.full((), last_z)[:, None])
+            if len(chunks) > 1:
+                # closing value at row u feeds the next chunk's start
+                last_z = int(Fr.decode(z[:, u]))
+            z = blind_z(z)
+            perm_z.append({"evals": z, "coeffs": dom.ifft(z)})
+        for entry in perm_z:
+            cm = self._commit_evals(entry["evals"])
+            entry["cm"] = cm
+            w.write_point(cm)
 
         # --- lookup grand products / grand sums -----------------------------
         beta_c = Fr.full((), beta)[:, None]
@@ -371,7 +395,7 @@ class PlonkProver:
         advice_ext = [to_ext(c) for c in advice_coeffs]
         instance_ext = [to_ext(c) for c in instance_coeffs]
         sigma_ext = [to_ext(c) for c in pk.sigma_coeffs]
-        z_ext = to_ext(z_coeffs)
+        perm_z_ext = [to_ext(entry["coeffs"]) for entry in perm_z]
 
         ev = ex.Evaluator(Fr, fixed_ext, advice_ext, instance_ext,
                           rot_scale=ext_factor)
@@ -382,21 +406,14 @@ class PlonkProver:
                 acc = v if acc is None else Fr.add(Fr.mul(acc, Fr.full((), y)[:, None]), v)
 
         # permutation identities on the extended coset: x_i = shift * w^i
+        # (chunked, halo2 ordering: z_0 init, last-chunk boolean close,
+        # chunk stitches, then per-chunk transitions)
         wp = big.shift_powers(big.omega_int, big_n)  # w^i
         xs = Fr.mul(wp, Fr.full((), shift)[:, None])
         beta_b = Fr.full((big_n,), beta)
         gamma_b = Fr.full((big_n,), gamma)
-        numb = Fr.ones((big_n,))
-        denb = Fr.ones((big_n,))
         col_ext = {"fixed": fixed_ext, "advice": advice_ext,
                    "instance": instance_ext}
-        for j, col in enumerate(cs.permutation_columns):
-            v = col_ext[col.kind][col.index]
-            dj = Fr.full((), pk.deltas[j])[:, None]
-            numb = Fr.mul(numb, Fr.add(Fr.add(v, Fr.mul(beta_b, Fr.mul(dj, xs))), gamma_b))
-            denb = Fr.mul(denb, Fr.add(Fr.add(v, Fr.mul(beta_b, sigma_ext[j])), gamma_b))
-        z_next = jnp.roll(z_ext, -ext_factor, axis=1)
-        perm_trans = Fr.sub(Fr.mul(z_next, denb), Fr.mul(z_ext, numb))
 
         # row-selector polynomials over the extended coset
         def ind_ext(vec_01):
@@ -406,16 +423,41 @@ class PlonkProver:
         if t_blind:
             llast_ext = ind_ext([0] * u + [1] + [0] * (n - u - 1))
             lactive_ext = ind_ext([1] * u + [0] * (n - u))
-            perm_trans = Fr.mul(perm_trans, lactive_ext)
-        perm_first = Fr.mul(l0_ext, Fr.sub(z_ext, Fr.ones((big_n,))))
 
         yc = Fr.full((), y)[:, None]
-        perm_idents = [perm_first, perm_trans]
-        if t_blind:
-            # l_last * (z^2 - z): the closing value must be boolean
+        one_bn = Fr.ones((big_n,))
+        perm_idents = []
+        if chunks:
             perm_idents.append(
-                Fr.mul(llast_ext, Fr.sub(Fr.square(z_ext), z_ext))
-            )
+                Fr.mul(l0_ext, Fr.sub(perm_z_ext[0], one_bn)))
+            if t_blind:
+                zl = perm_z_ext[-1]
+                perm_idents.append(
+                    Fr.mul(llast_ext, Fr.sub(Fr.square(zl), zl)))
+            # stitches: l_0 * (z_c - z_{c-1}(w^{-(t+1)} X))
+            for c in range(1, len(chunks)):
+                z_prev_last = jnp.roll(
+                    perm_z_ext[c - 1], (t_blind + 1) * ext_factor, axis=1)
+                perm_idents.append(
+                    Fr.mul(l0_ext, Fr.sub(perm_z_ext[c], z_prev_last)))
+            j = 0
+            for c, chunk in enumerate(chunks):
+                numb = Fr.ones((big_n,))
+                denb = Fr.ones((big_n,))
+                for col in chunk:
+                    v = col_ext[col.kind][col.index]
+                    dj = Fr.full((), pk.deltas[j])[:, None]
+                    numb = Fr.mul(numb, Fr.add(
+                        Fr.add(v, Fr.mul(beta_b, Fr.mul(dj, xs))), gamma_b))
+                    denb = Fr.mul(denb, Fr.add(
+                        Fr.add(v, Fr.mul(beta_b, sigma_ext[j])), gamma_b))
+                    j += 1
+                z_c = perm_z_ext[c]
+                z_next = jnp.roll(z_c, -ext_factor, axis=1)
+                trans = Fr.sub(Fr.mul(z_next, denb), Fr.mul(z_c, numb))
+                if t_blind:
+                    trans = Fr.mul(trans, lactive_ext)
+                perm_idents.append(trans)
         for ident in perm_idents:
             acc = ident if acc is None else Fr.add(Fr.mul(acc, yc), ident)
 
@@ -540,11 +582,18 @@ class PlonkProver:
             evals[("sigma", i)] = vv
             w.write_scalar(vv)
             openings.append(ProverOpening(c, (x,)))
-        zx = ev_at(z_coeffs, x)
-        zwx = ev_at(z_coeffs, wx)
-        w.write_scalar(zx)
-        w.write_scalar(zwx)
-        openings.append(ProverOpening(z_coeffs, (x, wx)))
+        # permutation z evals: per chunk z(x), z(wx), plus z(x_last) for
+        # every chunk but the final one (stitch openings; halo2
+        # permutation/prover.rs evaluate order)
+        x_last = x * pow(omega, (-(t_blind + 1)) % n, p) % p if chunks else 0
+        for c, entry in enumerate(perm_z):
+            zc = entry["coeffs"]
+            pts = [x, wx]
+            if c + 1 < len(perm_z):
+                pts.append(x_last)
+            for pt in pts:
+                w.write_scalar(ev_at(zc, pt))
+            openings.append(ProverOpening(zc, tuple(pts)))
         # lookup openings: halo2 -> a'(x), a'(w^-1 x), s'(x), z(x), z(wx);
         # log-derivative -> m(x), phi(x), phi(wx); shuffle -> z(x), z(wx)
         winv_x = x * pow(omega, p - 2, p) % p
@@ -591,6 +640,13 @@ class PlonkVerifier:
         self.dom = Radix2Domain(self.Fr, pk.n)
 
     def verify(self, proof: bytes, instance_values: list) -> bool:
+        try:
+            return self._verify(proof, instance_values)
+        except ProofDecodeError:
+            # malformed proof bytes are a rejection, not a crash
+            return False
+
+    def _verify(self, proof: bytes, instance_values: list) -> bool:
         Fr, pk = self.Fr, self.pk
         cs, n, p = pk.cs, pk.n, Fr.p
         omega = self.dom.omega_int
@@ -611,7 +667,8 @@ class PlonkVerifier:
                 lookup_cms.append((r.read_point(),))
         beta = r.squeeze_challenge()
         gamma = r.squeeze_challenge()
-        z_cm = r.read_point()
+        chunks = cs.permutation_chunks()
+        perm_z_cms = [r.read_point() for _ in chunks]
         lookup_z_cms = [r.read_point() for _ in cs.lookups]
         shuffle_z_cms = [r.read_point() for _ in cs.shuffles]
         y = r.squeeze_challenge()
@@ -622,11 +679,19 @@ class PlonkVerifier:
         wx = x * omega % p
         winv_x = x * pow(omega, p - 2, p) % p
 
+        t_blind = cs.blinding_factors
+        u = cs.usable_rows(n)
+        x_last = x * pow(omega, (-(t_blind + 1)) % n, p) % p
+
         advice_evals = [r.read_scalar() for _ in range(cs.num_advice)]
         fixed_evals = [r.read_scalar() for _ in range(cs.num_fixed)]
         sigma_evals = [r.read_scalar() for _ in range(len(cs.permutation_columns))]
-        zx = r.read_scalar()
-        zwx = r.read_scalar()
+        perm_z_evals = []
+        for c in range(len(chunks)):
+            e = {"z_x": r.read_scalar(), "z_wx": r.read_scalar()}
+            if c + 1 < len(chunks):
+                e["z_lastx"] = r.read_scalar()
+            perm_z_evals.append(e)
         lookup_evals = []
         for _lk in cs.lookups:
             if cs.lookup_type == "halo2":
@@ -664,12 +729,9 @@ class PlonkVerifier:
             for poly in g.polys:
                 v = scal.eval(poly)
                 acc = v if acc is None else (acc * y + v) % p
-        # permutation identities at x
+        # permutation identities at x (chunked; mirrors the prover order)
         xn = pow(x, n, p)
         l0 = (xn - 1) * pow(n * (x - 1) % p, p - 2, p) % p
-
-        t_blind = cs.blinding_factors
-        u = cs.usable_rows(n)
 
         def lag(i):
             wi = pow(omega, i, p)
@@ -682,18 +744,32 @@ class PlonkVerifier:
         else:
             l_last, l_active = 0, 1
 
-        numx, denx = 1, 1
         col_eval = {"fixed": fixed_evals, "advice": advice_evals,
                     "instance": inst_evals}
-        for j, col in enumerate(cs.permutation_columns):
-            v = col_eval[col.kind][col.index]
-            numx = numx * ((v + beta * pk.deltas[j] % p * x + gamma) % p) % p
-            denx = denx * ((v + beta * sigma_evals[j] + gamma) % p) % p
-        perm_first = l0 * (zx - 1) % p
-        perm_trans = (zwx * denx - zx * numx) % p * l_active % p
-        perm_idents = [perm_first, perm_trans]
-        if t_blind:
-            perm_idents.append(l_last * (zx * zx - zx) % p)
+        perm_idents = []
+        if chunks:
+            perm_idents.append(l0 * (perm_z_evals[0]["z_x"] - 1) % p)
+            if t_blind:
+                zl = perm_z_evals[-1]["z_x"]
+                perm_idents.append(l_last * (zl * zl - zl) % p)
+            for c in range(1, len(chunks)):
+                perm_idents.append(
+                    l0 * (perm_z_evals[c]["z_x"]
+                          - perm_z_evals[c - 1]["z_lastx"]) % p)
+            j = 0
+            for c, chunk in enumerate(chunks):
+                numx, denx = 1, 1
+                for col in chunk:
+                    v = col_eval[col.kind][col.index]
+                    numx = numx * ((v + beta * pk.deltas[j] % p * x + gamma)
+                                   % p) % p
+                    denx = denx * ((v + beta * sigma_evals[j] + gamma)
+                                   % p) % p
+                    j += 1
+                ev = perm_z_evals[c]
+                perm_idents.append(
+                    (ev["z_wx"] * denx - ev["z_x"] * numx) % p
+                    * l_active % p)
         for ident in perm_idents:
             acc = ident if acc is None else (acc * y + ident) % p
 
@@ -765,7 +841,14 @@ class PlonkVerifier:
             openings.append(VerifierOpening(cm, (x,), (fixed_evals[i],)))
         for i, cm in enumerate(pk.sigma_commitments):
             openings.append(VerifierOpening(cm, (x,), (sigma_evals[i],)))
-        openings.append(VerifierOpening(z_cm, (x, wx), (zx, zwx)))
+        for c, cm in enumerate(perm_z_cms):
+            ev = perm_z_evals[c]
+            pts = [x, wx]
+            vals = [ev["z_x"], ev["z_wx"]]
+            if c + 1 < len(perm_z_cms):
+                pts.append(x_last)
+                vals.append(ev["z_lastx"])
+            openings.append(VerifierOpening(cm, tuple(pts), tuple(vals)))
         for li in range(len(cs.lookups)):
             ev = lookup_evals[li]
             if cs.lookup_type == "halo2":

@@ -148,6 +148,113 @@ def compress_selectors(
         for pair in cs.copies
     ]
 
+    # remap surviving fixed queries through the reindex (dropping queries
+    # to removed selector columns); the rewritten gate expressions register
+    # the new combination-column queries via collect_queries
+    cs.fixed_queries = [
+        (reindex[c], r) for (c, r) in cs.fixed_queries if c in reindex
+    ]
     new_fixed = [fixed_values[i] for i in keep] + new_cols
     cs.num_fixed = len(new_fixed)
+    cs.num_selectors = len(selector_cols)
+    cs.collect_queries()
     return new_fixed
+
+
+# --- halo2-exact compressor (bit-compatible keygen path) -------------------
+#
+# Deterministic reimplementation of the reference's SelectorCompressor
+# (reference: tachyon/zk/plonk/constraint_system/selector_compressor.h:62-283,
+# exclusion_matrix.h, selector_assignment.h; halo2's compress_selectors).
+# Used by the halo2-compatible keygen: the combination assignments become new
+# fixed columns appended after the circuit's own, and every Selector
+# expression is substituted so pinned VK strings and fixed commitments match
+# upstream halo2 bit-for-bit.
+
+class SelectorAssignment:
+    def __init__(self, selector_index, combination_index, expression):
+        self.selector_index = selector_index
+        self.combination_index = combination_index
+        self.expression = expression
+
+
+def compress_selectors_exact(selectors_in, degrees, max_degree, allocate):
+    """selectors_in: list of list[bool] activations; degrees[i]: the max
+    degree of any gate poly using selector i (0 for complex/unused);
+    max_degree: the constraint system degree budget; allocate(): creates a
+    fresh fixed column and returns its Rotation-cur expression.
+
+    Returns (combination_assignments, selector_assignments): the new fixed
+    column values (ints 0..k) and the substitution expressions.
+    """
+    if not selectors_in:
+        return [], []
+    n = len(selectors_in[0])
+    assert all(len(a) == n for a in selectors_in)
+
+    combination_assignments = []
+    selector_assignments = []
+
+    # zero-degree selectors (complex or unused in gates) first, in order
+    remaining = []
+    for idx, acts in enumerate(selectors_in):
+        if degrees[idx] == 0:
+            expression = allocate()
+            combination_index = len(combination_assignments)
+            combination_assignments.append([1 if b else 0 for b in acts])
+            selector_assignments.append(
+                SelectorAssignment(idx, combination_index, expression))
+        else:
+            remaining.append((idx, acts, degrees[idx]))
+
+    # exclusion: two selectors conflict iff active on a common row
+    def exclusive(a, b):
+        return any(x and y for x, y in zip(a, b))
+
+    added = [False] * len(remaining)
+    for i in range(len(remaining)):
+        if added[i]:
+            continue
+        added[i] = True
+        sel_idx, acts, deg = remaining[i]
+        assert deg <= max_degree, "selector degree exceeds budget"
+        d = deg - 1  # virtual selector omitted: it will be substituted
+        combination = [(sel_idx, acts, deg)]
+        comb_pos = [i]
+        for j in range(i + 1, len(remaining)):
+            if d + len(combination) == max_degree:
+                break  # nothing more fits
+            if added[j]:
+                continue
+            _, acts_j, deg_j = remaining[j]
+            if any(exclusive(acts_j, remaining[k][1]) for k in comb_pos):
+                continue
+            new_d = max(d, deg_j - 1)
+            if new_d + len(combination) + 1 > max_degree:
+                continue
+            d = new_d
+            combination.append(remaining[j])
+            comb_pos.append(j)
+            added[j] = True
+
+        # construct the combined selector column + substitution exprs
+        combination_assignment = [0] * n
+        combination_len = len(combination)
+        combination_index = len(combination_assignments)
+        query = allocate()
+        for assigned_root, (s_idx, s_acts, _) in enumerate(combination, 1):
+            # q * prod_{root != assigned_root, 1<=root<=len}(root - q)
+            expression = query
+            for root in range(1, combination_len + 1):
+                if root != assigned_root:
+                    expression = ex.Product(
+                        expression,
+                        ex.Sum(ex.Constant(root), ex.Negated(query)),
+                    )
+            for r in range(n):
+                if s_acts[r]:
+                    combination_assignment[r] = assigned_root
+            selector_assignments.append(
+                SelectorAssignment(s_idx, combination_index, expression))
+        combination_assignments.append(combination_assignment)
+    return combination_assignments, selector_assignments

@@ -85,3 +85,47 @@ def test_regions_stack_rows():
     cell = planner.assign_region("r2", r2)
     assert cell.row == 2  # placed after r1's two rows
     assert int(planner.assignment.advice[0][2]) == 33
+
+
+def test_v1_planner_packs_disjoint_columns():
+    from tachyon_tpu.zk.plonk.layout import V1FloorPlanner
+
+    cs = ConstraintSystem()
+    a = cs.advice_column()
+    b = cs.advice_column()
+
+    class TwoColCircuit:
+        def synthesize(self, config, layouter):
+            # two tall regions on disjoint columns: V1 overlaps them at
+            # row 0; the Simple planner would stack them (4 rows)
+            layouter.assign_region(
+                "ra", lambda r: [r.assign_advice(a, i, 10 + i)
+                                 for i in range(2)])
+            layouter.assign_region(
+                "rb", lambda r: [r.assign_advice(b, i, 20 + i)
+                                 for i in range(2)])
+
+    planner = V1FloorPlanner(cs, N)
+    asg = planner.synthesize(TwoColCircuit(), None)
+    assert int(asg.advice[0][0]) == 10 and int(asg.advice[0][1]) == 11
+    assert int(asg.advice[1][0]) == 20 and int(asg.advice[1][1]) == 21
+
+
+def test_v1_planner_same_column_no_overlap():
+    from tachyon_tpu.zk.plonk.layout import V1FloorPlanner
+
+    cs = ConstraintSystem()
+    a = cs.advice_column()
+
+    class OneColCircuit:
+        def synthesize(self, config, layouter):
+            layouter.assign_region(
+                "big", lambda r: [r.assign_advice(a, i, 100 + i)
+                                  for i in range(3)])
+            layouter.assign_region(
+                "small", lambda r: r.assign_advice(a, 0, 55))
+
+    planner = V1FloorPlanner(cs, N)
+    asg = planner.synthesize(OneColCircuit(), None)
+    vals = [int(v) for v in asg.advice[0][:4]]
+    assert sorted(vals) == [55, 100, 101, 102]  # no clobbering
