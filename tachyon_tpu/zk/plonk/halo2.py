@@ -1,0 +1,1104 @@
+"""Halo2 bit-compatible proving pipeline over BN254 (Scroll vendor flavor).
+
+Analog of the reference's halo2 layer
+(reference: tachyon/zk/plonk/halo2/prover.h CreateProof,
+zk/plonk/keys/{key.h,verifying_key.h,proving_key.h},
+zk/plonk/permutation/cycle_store.cc, math/elliptic_curves/bn/bn254/halo2/
+bn254.cc OverrideSubgroupGenerator, zk/plonk/halo2/random_field_generator.h,
+zk/plonk/vanishing/vanishing_utils.h GetZeta).
+
+Design: the golden-value tests (tests/test_halo2_golden.py) pin every
+intermediate against the reference's zk/plonk/examples/*_test_data.h
+vectors.  For those tiny domains (n = 16) everything here runs HOST-EXACT
+(python ints) — the device path (ops/pallas kernels, math/ntt, math/msm)
+is cross-checked against this module separately, mirroring the reference's
+CPU↔GPU correctness-test pattern (SURVEY §4.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from tachyon_tpu.crypto import rng as rng_mod
+from tachyon_tpu.zk.plonk import expressions as ex
+from tachyon_tpu.zk.plonk.constraint_system import (
+    ColumnRef,
+    ConstraintSystem,
+)
+from tachyon_tpu.zk.plonk import stringifier
+
+# BN254 moduli
+FR = 0x30644E72E131A029B85045B68181585D2833E84879B9709143E1F593F0000001
+FQ = 0x30644E72E131A029B85045B68181585D97816A916871CA8D3C208C16D87CFD47
+
+# halo2curves bn256 Fr: GENERATOR = 7, S = 28
+# (reference: math/elliptic_curves/bn/bn254/halo2/bn254.cc:7-30)
+HALO2_GENERATOR = 7
+TWO_ADICITY = 28
+
+# XORShift seed used by every reference golden test
+# (reference: zk/plonk/halo2/constants.h:33 kXORShiftSeed)
+XOR_SHIFT_SEED = bytes([
+    0x59, 0x62, 0xBE, 0x5D, 0x76, 0x3D, 0x31, 0x8D,
+    0x17, 0xDB, 0x37, 0x32, 0x54, 0x06, 0xBC, 0xE5,
+])
+
+
+def halo2_omega(k: int) -> int:
+    """2^k-th root of unity from the halo2curves generator."""
+    return pow(HALO2_GENERATOR, (FR - 1) >> k, FR)
+
+
+def halo2_zeta(vendor: str = "scroll") -> int:
+    """coset shift for the extended (quotient) domain: zeta = g^((p-1)/3)
+    for Scroll, zeta^2 for PSE (reference: vanishing_utils.h:26-61)."""
+    z = pow(HALO2_GENERATOR, (FR - 1) // 3, FR)
+    return z if vendor == "scroll" else z * z % FR
+
+
+class RandomFieldGenerator:
+    """halo2curves F::random over the Scroll XORShift rng: 64 LE bytes
+    (8x next_u64) reduced mod r (reference:
+    zk/plonk/halo2/random_field_generator.h:20-28 +
+    prime_field_conversion.h FromUint512 == value mod p)."""
+
+    def __init__(self, seed: bytes = XOR_SHIFT_SEED):
+        self.rng = rng_mod.XORShiftRNG(seed)
+
+    def generate(self) -> int:
+        v = 0
+        for i in range(8):
+            v |= self.rng.next_u64() << (64 * i)
+        return v % FR
+
+
+# --- host-exact field/poly helpers ----------------------------------------
+
+
+def host_fft(coeffs: list, omega: int, p: int = FR) -> list:
+    """evals[i] = P(omega^i), iterative radix-2 DIT on python ints."""
+    n = len(coeffs)
+    assert n & (n - 1) == 0
+    a = list(coeffs)
+    # bit-reverse permute
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            a[i], a[j] = a[j], a[i]
+    length = 2
+    while length <= n:
+        wlen = pow(omega, n // length, p)
+        for start in range(0, n, length):
+            w = 1
+            half = length // 2
+            for i in range(start, start + half):
+                u, v = a[i], a[i + half] * w % p
+                a[i] = (u + v) % p
+                a[i + half] = (u - v) % p
+                w = w * wlen % p
+        length <<= 1
+    return a
+
+
+def host_ifft(evals: list, omega: int, p: int = FR) -> list:
+    n = len(evals)
+    n_inv = pow(n, p - 2, p)
+    out = host_fft(evals, pow(omega, p - 2, p), p)
+    return [v * n_inv % p for v in out]
+
+
+def host_eval(coeffs: list, x: int, p: int = FR) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % p
+    return acc
+
+
+# --- host-exact BN254 G1 --------------------------------------------------
+
+
+def g1_add(a, b, p: int = FQ):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if (y1 + y2) % p == 0:
+            return None
+        lam = 3 * x1 * x1 * pow(2 * y1, p - 2, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, p - 2, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    return (x3, (lam * (x1 - x3) - y1) % p)
+
+
+def g1_mul(a, k: int, p: int = FQ):
+    acc, add = None, a
+    k %= FR
+    while k:
+        if k & 1:
+            acc = g1_add(acc, add, p)
+        add = g1_add(add, add, p)
+        k >>= 1
+    return acc
+
+
+class HostKZG:
+    """powers-of-tau SRS + commitments, exact ints
+    (reference: crypto/commitments/kzg/kzg.h UnsafeSetup/Commit; the
+    device path is crypto/kzg.py)."""
+
+    def __init__(self, n: int, tau: int):
+        self.n = n
+        g = (1, 2)
+        self.bases = []
+        cur = g
+        t = 1
+        for _ in range(n):
+            self.bases.append(g1_mul(g, t))
+            t = t * tau % FR
+        # G2 powers for completeness (verification uses pairing elsewhere)
+        self.tau = tau
+
+    def commit(self, coeffs: list):
+        acc = None
+        for c, b in zip(coeffs, self.bases):
+            if c:
+                acc = g1_add(acc, g1_mul(b, c))
+        return acc  # None = infinity
+
+    def commit_lagrange(self, evals: list, omega: int):
+        return self.commit(host_ifft(list(evals), omega))
+
+
+# --- cycle store (exact halo2 semantics) ----------------------------------
+
+
+class CycleStore:
+    """Cyclic-linked-list copy-constraint store (reference:
+    zk/plonk/permutation/cycle_store.cc MergeCycle — mapping = next label in
+    cycle, aux = cycle base, sizes at base; merge joins the smaller cycle
+    into the larger and swaps the two next-pointers)."""
+
+    def __init__(self, num_cols: int, n: int):
+        self.n = n
+        self.mapping = [[(c, r) for r in range(n)] for c in range(num_cols)]
+        self.aux = [[(c, r) for r in range(n)] for c in range(num_cols)]
+        self.sizes = [[1] * n for _ in range(num_cols)]
+
+    def _get(self, table, label):
+        return table[label[0]][label[1]]
+
+    def _set(self, table, label, value):
+        table[label[0]][label[1]] = value
+
+    def merge(self, a, b) -> bool:
+        base_l = self._get(self.aux, a)
+        base_r = self._get(self.aux, b)
+        if base_l == base_r:
+            return False
+        if self._get(self.sizes, base_l) < self._get(self.sizes, base_r):
+            base_l, base_r = base_r, base_l
+        self._set(
+            self.sizes, base_l,
+            self._get(self.sizes, base_l) + self._get(self.sizes, base_r))
+        l = base_r
+        while True:
+            self._set(self.aux, l, base_l)
+            l = self._get(self.mapping, l)
+            if l == base_r:
+                break
+        ma, mb = self._get(self.mapping, a), self._get(self.mapping, b)
+        self._set(self.mapping, a, mb)
+        self._set(self.mapping, b, ma)
+        return True
+
+
+# --- keygen ----------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Halo2ProvingKey:
+    cs: ConstraintSystem
+    k: int
+    n: int
+    extended_k: int
+    omega: int
+    kzg: HostKZG
+    # assembly snapshots (golden-testable)
+    assembly_fixed: list  # pre-compression fixed column values
+    selectors: list  # raw activations
+    cycle_store: CycleStore
+    usable_rows: int
+    # keygen products
+    fixed_columns: list  # post-compression fixed values (list of list[int])
+    fixed_polys: list  # coefficient form
+    permutations: list  # sigma columns, evaluation form
+    permutation_polys: list
+    l_first: list  # coefficient form
+    l_last: list
+    l_active_row: list
+    fixed_commitments: list  # (x, y) int points
+    permutation_commitments: list
+    deltas: list
+    pinned_vk: str = ""
+    transcript_repr: int = 0
+    vendor: str = "scroll"
+
+
+def keygen(circuit, k: int, tau: int = 2,
+           vendor: str = "scroll",
+           lookup_type: str = "halo2") -> Halo2ProvingKey:
+    """Full halo2 keygen (reference: zk/plonk/keys/key.h PreLoad,
+    verifying_key.h DoLoad, proving_key.h DoLoad).
+
+    circuit must provide: configure(cs) -> config;
+    floor_planner(cs, n) -> planner; synthesize via planner.
+    """
+    n = 1 << k
+    cs = ConstraintSystem()
+    cs.lookup_type = lookup_type
+    config = circuit.configure(cs)
+    cs.blinding_factors = cs.compute_blinding_factors()
+    usable = n - (cs.blinding_factors + 1)
+
+    planner = circuit.floor_planner(cs, n)
+    assignment = planner.synthesize(circuit, config)
+    assembly_fixed = [list(col) for col in assignment.fixed]
+    selectors = [list(col) for col in assignment.selectors]
+
+    # cycle store over permutation columns, copies applied in order
+    perm_cols = list(cs.permutation_columns)
+    col_index = {col: i for i, col in enumerate(perm_cols)}
+    store = CycleStore(len(perm_cols), n)
+    for (ca, ra), (cb, rb) in cs.copies:
+        assert ca in col_index and cb in col_index, "copy without equality"
+        store.merge((col_index[ca], ra), (col_index[cb], rb))
+
+    # selector compression extends the fixed columns
+    combination_assignments = cs.compress_selectors(selectors)
+    fixed_columns = [list(map(int, col)) for col in assembly_fixed]
+    fixed_columns += [list(map(int, col)) for col in combination_assignments]
+    cs.collect_queries()
+
+    omega = halo2_omega(k)
+    extended_k = cs.compute_extended_k(k)
+    kzg = HostKZG(n, tau)
+
+    # sigma columns: delta^c * omega^r at each mapping label
+    # (reference: permutation_assembly.h GeneratePermutations)
+    delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
+    deltas = [pow(delta, j, FR) for j in range(len(perm_cols))]
+    omega_pows = [pow(omega, r, FR) for r in range(n)]
+    permutations = []
+    for c in range(len(perm_cols)):
+        col = []
+        for r in range(n):
+            mc, mr = store.mapping[c][r]
+            col.append(deltas[mc] * omega_pows[mr] % FR)
+        permutations.append(col)
+
+    fixed_polys = [host_ifft(col, omega) for col in fixed_columns]
+    permutation_polys = [host_ifft(col, omega) for col in permutations]
+
+    # row-selector polys (reference: proving_key.h DoLoad l_first/l_last/
+    # l_active_row)
+    l_first_e = [0] * n
+    l_first_e[0] = 1
+    l_last_e = [0] * n
+    l_last_e[usable] = 1
+    l_active_e = [1 if i < usable else 0 for i in range(n)]
+    l_first = host_ifft(l_first_e, omega)
+    l_last = host_ifft(l_last_e, omega)
+    l_active_row = host_ifft(l_active_e, omega)
+
+    fixed_commitments = [kzg.commit(po) for po in fixed_polys]
+    permutation_commitments = [kzg.commit(po) for po in permutation_polys]
+
+    def pt(cm):
+        return cm if cm is not None else None
+
+    pinned = stringifier.pinned_vk_str(
+        cs, k, extended_k, omega,
+        [pt(c) for c in fixed_commitments],
+        [pt(c) for c in permutation_commitments],
+        base_modulus=FQ, scalar_modulus=FR,
+    )
+    repr_int = stringifier.transcript_repr_from_str(pinned, FR)
+
+    return Halo2ProvingKey(
+        cs=cs, k=k, n=n, extended_k=extended_k, omega=omega, kzg=kzg,
+        assembly_fixed=assembly_fixed, selectors=selectors,
+        cycle_store=store, usable_rows=usable,
+        fixed_columns=fixed_columns, fixed_polys=fixed_polys,
+        permutations=permutations, permutation_polys=permutation_polys,
+        l_first=l_first, l_last=l_last, l_active_row=l_active_row,
+        fixed_commitments=fixed_commitments,
+        permutation_commitments=permutation_commitments,
+        deltas=deltas, pinned_vk=pinned, transcript_repr=repr_int,
+        vendor=vendor,
+    )
+
+
+# --- prover ----------------------------------------------------------------
+
+
+def _eval_expr(e, fixed, advice, instance, idx, rot_idx, p=FR):
+    """evaluate an expression at one row of per-part coset tables
+    (reference: vanishing/graph_evaluator.h compiled to a register machine;
+    host-exact interpreter here)."""
+    if isinstance(e, ex.Constant):
+        return e.value % p
+    if isinstance(e, ex.Fixed):
+        return fixed[e.column][rot_idx(e.rotation)]
+    if isinstance(e, ex.Advice):
+        return advice[e.column][rot_idx(e.rotation)]
+    if isinstance(e, ex.Instance):
+        return instance[e.column][rot_idx(e.rotation)]
+    if isinstance(e, ex.Negated):
+        return (-_eval_expr(e.expr, fixed, advice, instance, idx, rot_idx)) % p
+    if isinstance(e, ex.Scaled):
+        return _eval_expr(e.expr, fixed, advice, instance, idx, rot_idx) \
+            * e.scale % p
+    if isinstance(e, ex.Sum):
+        return (_eval_expr(e.left, fixed, advice, instance, idx, rot_idx)
+                + _eval_expr(e.right, fixed, advice, instance, idx, rot_idx)) % p
+    if isinstance(e, ex.Product):
+        return _eval_expr(e.left, fixed, advice, instance, idx, rot_idx) \
+            * _eval_expr(e.right, fixed, advice, instance, idx, rot_idx) % p
+    raise TypeError(e)
+
+
+def _coset_evals(coeffs: list, shift: int, omega: int, n: int) -> list:
+    """evaluations of the degree-<n poly on {shift * omega^i}."""
+    scaled = list(coeffs) + [0] * (n - len(coeffs))
+    s = 1
+    for j in range(n):
+        scaled[j] = scaled[j] * s % FR
+        s = s * shift % FR
+    return host_fft(scaled, omega)
+
+
+@dataclasses.dataclass
+class Halo2Proof:
+    proof: bytes
+    # per-phase intermediates, golden-testable
+    advice_commitments: list
+    theta: int
+    beta: int
+    gamma: int
+    permutation_product_commitments: list
+    vanishing_random_commitment: tuple
+    y: int
+    h_commitments: list
+    x: int
+    advice_evals: list
+    fixed_evals: list
+    vanishing_random_eval: int
+    common_permutation_evals: list
+    permutation_product_evals: list
+    permutation_product_next_evals: list
+    permutation_product_last_evals: list
+    h_eval: int
+    lookup_permuted_commitments: list = dataclasses.field(default_factory=list)
+    lookup_product_commitments: list = dataclasses.field(default_factory=list)
+    lookup_evals: list = dataclasses.field(default_factory=list)
+
+
+class Halo2Prover:
+    """Scroll-vendor halo2 prover, host-exact
+    (reference: zk/plonk/halo2/prover.h:67-327 CreateProof)."""
+
+    def __init__(self, pk: Halo2ProvingKey, rng: RandomFieldGenerator | None = None):
+        self.pk = pk
+        self.rng = rng or RandomFieldGenerator()
+
+    def create_proof(self, circuits: list, instance_columns_vec: list
+                     ) -> Halo2Proof:
+        from tachyon_tpu.crypto.transcript import (
+            TranscriptWriter,
+            FieldSpecShim,
+        )
+
+        pk, rng = self.pk, self.rng
+        cs, n, k = pk.cs, pk.n, pk.k
+        omega, kzg = pk.omega, pk.kzg
+        t_blind = cs.blinding_factors
+        usable = pk.usable_rows
+        assert not cs.shuffles, "shuffle golden path: next milestone"
+        assert cs.lookup_type == "halo2" or not cs.lookups
+
+        w = TranscriptWriter(FieldSpecShim(FR), FieldSpecShim(FQ))
+        w.common_scalar(pk.transcript_repr)
+
+        num_circuits = len(circuits)
+        # instance polys; values absorbed as scalars (KZG: kQueryInstance
+        # = false; reference: argument_data.h:164-201)
+        instance_polys_vec = []
+        instance_evals_vec = []
+        for insts in instance_columns_vec:
+            polys, evals = [], []
+            for col in insts:
+                for v in col:
+                    w.common_scalar(v % FR)
+                padded = [v % FR for v in col] + [0] * (n - len(col))
+                evals.append(padded)
+                polys.append(host_ifft(padded, omega))
+            instance_polys_vec.append(polys)
+            instance_evals_vec.append(evals)
+
+        # advice synthesis per circuit (reference: synthesizer.h:40-97 —
+        # last row pinned to one, one blind draw per column after commit)
+        import copy as _copy
+
+        advice_evals_vec = []
+        advice_cms_vec = []
+        for ci, circuit in enumerate(circuits):
+            cs_w = _copy.deepcopy(cs)
+            planner = circuit.floor_planner(cs_w, n)
+            config = None
+            # configure on a throwaway system for the config handle
+            cs_throw = ConstraintSystem()
+            cs_throw.lookup_type = cs.lookup_type
+            config = circuit.configure(cs_throw)
+            assignment = planner.synthesize(circuit, config)
+            cols = []
+            cms = []
+            for col in assignment.advice:
+                vals = [int(v) % FR for v in col]
+                vals[n - 1] = 1
+                cm = kzg.commit_lagrange(vals, omega)
+                w.write_point(cm)
+                rng.generate()  # the (KZG-unused) Blind scalar draw
+                cols.append(vals)
+                cms.append(cm)
+            advice_evals_vec.append(cols)
+            advice_cms_vec.append(cms)
+
+        theta = w.squeeze_challenge()
+
+        chunks = cs.permutation_chunks()
+        col_tables = []
+        for ci in range(num_circuits):
+            col_tables.append({
+                "fixed": pk.fixed_columns,
+                "advice": advice_evals_vec[ci],
+                "instance": instance_evals_vec[ci],
+            })
+
+        # lookup compress + permute + commit permuted pairs
+        # (reference: prover.h:156-166, lookup/halo2/prover_impl.h:26-125,
+        # permute_expression_pair.h:30-140)
+        def eval_expr_table(e, table, r):
+            def rot_idx(rot):
+                return (r + rot) % n
+            return _eval_expr(e, table["fixed"], table["advice"],
+                              table["instance"], r, rot_idx)
+
+        def compress(exprs, table):
+            out = []
+            for r in range(n):
+                acc = 0
+                for e in exprs:
+                    acc = (acc * theta + eval_expr_table(e, table, r)) % FR
+                out.append(acc)
+            return out
+
+        lookup_compressed_vec = []  # [circuit][lookup] -> (A_comp, S_comp)
+        lookup_permuted_vec = []  # [circuit][lookup] -> (A', S')
+        for ci in range(num_circuits):
+            comp, perm = [], []
+            for lk in cs.lookups:
+                a_comp = compress(lk.input_exprs, col_tables[ci])
+                s_comp = compress(lk.table_exprs, col_tables[ci])
+                comp.append((a_comp, s_comp))
+                # permute: sort inputs, align table
+                a_p = list(a_comp)
+                a_p[:usable] = sorted(a_p[:usable])
+                leftover = {}
+                for r in range(usable):
+                    leftover[s_comp[r]] = leftover.get(s_comp[r], 0) + 1
+                s_p = [0] * n
+                repeated = []
+                for r in range(usable):
+                    v = a_p[r]
+                    if r == 0 or v != a_p[r - 1]:
+                        s_p[r] = v
+                        assert leftover.get(v, 0) > 0, \
+                            "lookup input not in table"
+                        leftover[v] -= 1
+                    else:
+                        repeated.append(r)
+                for v in sorted(kk for kk, cnt in leftover.items() if cnt):
+                    for _ in range(leftover[v]):
+                        s_p[repeated.pop()] = v
+                assert not repeated
+                # blind both with the last row included (t + 1 rows)
+                for i in range(n - t_blind - 1, n):
+                    a_p[i] = rng.generate()
+                for i in range(n - t_blind - 1, n):
+                    s_p[i] = rng.generate()
+                rng.generate()  # input Blind scalar
+                rng.generate()  # table Blind scalar
+                perm.append((a_p, s_p))
+            lookup_compressed_vec.append(comp)
+            lookup_permuted_vec.append(perm)
+        lookup_permuted_cms_vec = []
+        for ci in range(num_circuits):
+            cms = []
+            for a_p, s_p in lookup_permuted_vec[ci]:
+                cma = kzg.commit_lagrange(a_p, omega)
+                w.write_point(cma)
+                cms_pair = [cma]
+                cmb = kzg.commit_lagrange(s_p, omega)
+                w.write_point(cmb)
+                cms_pair.append(cmb)
+                cms.append(tuple(cms_pair))
+            lookup_permuted_cms_vec.append(cms)
+
+        beta = w.squeeze_challenge()
+        gamma = w.squeeze_challenge()
+
+        perm_z_vec = []  # [circuit][chunk] -> evals list
+        for ci in range(num_circuits):
+            table = col_tables[ci]
+            last_z = 1
+            zs = []
+            j = 0
+            for chunk in chunks:
+                ratios = []
+                for r in range(n):
+                    num_v, den_v = 1, 1
+                    for cidx, col in enumerate(chunk):
+                        v = table[col.kind][col.index][r]
+                        dj = pk.deltas[j + cidx]
+                        num_v = num_v * (
+                            (v + beta * dj % FR * pow(omega, r, FR) + gamma)
+                            % FR) % FR
+                        den_v = den_v * (
+                            (v + beta * pk.permutations[j + cidx][r] + gamma)
+                            % FR) % FR
+                    ratios.append(num_v * pow(den_v, FR - 2, FR) % FR)
+                j += len(chunk)
+                z = [0] * n
+                z[0] = last_z
+                for i in range(usable):
+                    z[i + 1] = z[i] * ratios[i] % FR
+                last_z = z[usable]
+                # blind rows [n - t, n) (blinder.h:36-44)
+                for i in range(n - t_blind, n):
+                    z[i] = rng.generate()
+                rng.generate()  # Blind scalar for the z poly
+                zs.append(z)
+            perm_z_vec.append(zs)
+
+        # lookup grand products (reference: prover.h:199-205,
+        # lookup/halo2/prover_impl.h:129-160 + grand_product_argument.h:40-61)
+        lookup_z_vec = []
+        for ci in range(num_circuits):
+            zs = []
+            for li in range(len(cs.lookups)):
+                a_comp, s_comp = lookup_compressed_vec[ci][li]
+                a_p, s_p = lookup_permuted_vec[ci][li]
+                ratios = []
+                for r in range(n):
+                    num_v = (a_comp[r] + beta) * (s_comp[r] + gamma) % FR
+                    den_v = (a_p[r] + beta) * (s_p[r] + gamma) % FR
+                    ratios.append(num_v * pow(den_v, FR - 2, FR) % FR)
+                z = [0] * n
+                z[0] = 1
+                for i in range(usable):
+                    z[i + 1] = z[i] * ratios[i] % FR
+                for i in range(n - t_blind, n):
+                    z[i] = rng.generate()
+                rng.generate()  # Blind scalar
+                zs.append(z)
+            lookup_z_vec.append(zs)
+
+        # vanishing random poly = 1 (vanishing_prover_impl.h:23-38)
+        random_poly = [1]
+
+        # commit grand products then the random poly
+        perm_z_cms_vec = []
+        for ci in range(num_circuits):
+            cms = []
+            for z in perm_z_vec[ci]:
+                cm = kzg.commit_lagrange(z, omega)
+                w.write_point(cm)
+                cms.append(cm)
+            perm_z_cms_vec.append(cms)
+        lookup_z_cms_vec = []
+        for ci in range(num_circuits):
+            cms = []
+            for z in lookup_z_vec[ci]:
+                cm = kzg.commit_lagrange(z, omega)
+                w.write_point(cm)
+                cms.append(cm)
+            lookup_z_cms_vec.append(cms)
+        random_cm = kzg.commit(random_poly)
+        w.write_point(random_cm)
+
+        y = w.squeeze_challenge()
+
+        # to coefficient form
+        advice_polys_vec = [
+            [host_ifft(c, omega) for c in cols] for cols in advice_evals_vec
+        ]
+        perm_zp_vec = [
+            [host_ifft(z, omega) for z in zs] for zs in perm_z_vec
+        ]
+        lookup_zp_vec = [
+            [host_ifft(z, omega) for z in zs] for zs in lookup_z_vec
+        ]
+        lookup_permuted_polys_vec = [
+            [(host_ifft(a_p, omega), host_ifft(s_p, omega))
+             for a_p, s_p in pairs]
+            for pairs in lookup_permuted_vec
+        ]
+
+        # --- h(X) (reference: circuit_polynomial_builder.h Scroll by-parts;
+        # identity order per circuit: gates, then permutation parts 1-3
+        # (permutation_evaluator.h:53-108), lookups, shuffles) -------------
+        extended_k = pk.extended_k
+        ext_n = 1 << extended_k
+        num_parts = ext_n // n
+        omega_ext = halo2_omega(extended_k)
+        zeta = halo2_zeta(pk.vendor)
+        delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
+
+        l_first_coeffs, l_last_coeffs = pk.l_first, pk.l_last
+        l_active_coeffs = pk.l_active_row
+        sigma_polys = pk.permutation_polys
+
+        value_parts = []
+        for part in range(num_parts):
+            shift = zeta * pow(omega_ext, part, FR) % FR
+            fixed_c = [
+                _coset_evals(po, shift, omega, n) for po in pk.fixed_polys
+            ]
+            lf = _coset_evals(l_first_coeffs, shift, omega, n)
+            ll = _coset_evals(l_last_coeffs, shift, omega, n)
+            la = _coset_evals(l_active_coeffs, shift, omega, n)
+            sig_c = [_coset_evals(po, shift, omega, n) for po in sigma_polys]
+            acc = [0] * n
+            for ci in range(num_circuits):
+                adv_c = [
+                    _coset_evals(po, shift, omega, n)
+                    for po in advice_polys_vec[ci]
+                ]
+                inst_c = [
+                    _coset_evals(po, shift, omega, n)
+                    for po in instance_polys_vec[ci]
+                ]
+                z_c = [
+                    _coset_evals(po, shift, omega, n)
+                    for po in perm_zp_vec[ci]
+                ]
+                lk_z_c = [
+                    _coset_evals(po, shift, omega, n)
+                    for po in lookup_zp_vec[ci]
+                ]
+                lk_ap_c = [
+                    _coset_evals(pa, shift, omega, n)
+                    for pa, _ps in lookup_permuted_polys_vec[ci]
+                ]
+                lk_sp_c = [
+                    _coset_evals(ps, shift, omega, n)
+                    for _pa, ps in lookup_permuted_polys_vec[ci]
+                ]
+                for idx in range(n):
+                    def rot_idx(rot, idx=idx):
+                        return (idx + rot) % n
+
+                    v = acc[idx]
+                    for g in cs.gates:
+                        for poly in g.polys:
+                            gv = _eval_expr(poly, fixed_c, adv_c, inst_c,
+                                            idx, rot_idx)
+                            v = (v * y + gv) % FR
+                    if z_c:
+                        # part 1: l_first * (1 - z_0); l_last * (z_l^2 - z_l)
+                        v = (v * y + (1 - z_c[0][idx]) * lf[idx]) % FR
+                        zl = z_c[-1][idx]
+                        v = (v * y + ll[idx] * (zl * zl - zl)) % FR
+                        # part 2: stitches
+                        r_last = (idx - (t_blind + 1)) % n
+                        for jj in range(1, len(z_c)):
+                            v = (v * y + lf[idx]
+                                 * (z_c[jj][idx] - z_c[jj - 1][r_last])) % FR
+                        # part 3: transitions; delta term multiplies the
+                        # coset point itself: beta * delta^j * X
+                        # (permutation_evaluator.h:49-50,84 — delta_start =
+                        # beta * zeta, beta_term = w_ext^part * omega^row)
+                        x_coset = shift * pow(omega, idx, FR) % FR
+                        current_delta = beta * x_coset % FR
+                        r_next = (idx + 1) % n
+                        jcol = 0
+                        for jj, chunk in enumerate(chunks):
+                            left = z_c[jj][r_next]
+                            right = z_c[jj][idx]
+                            for cidx, col in enumerate(chunk):
+                                cv = {"fixed": fixed_c, "advice": adv_c,
+                                      "instance": inst_c}[col.kind][col.index][idx]
+                                left = left * (
+                                    (cv + beta * sig_c[jcol + cidx][idx]
+                                     + gamma) % FR) % FR
+                                right = right * (
+                                    (cv + current_delta + gamma) % FR) % FR
+                                current_delta = current_delta * delta % FR
+                            jcol += len(chunk)
+                            v = (v * y + (left - right) * la[idx]) % FR
+                    # lookup identities (reference:
+                    # lookup/halo2/evaluator.h:92-127 — five per lookup)
+                    for li in range(len(cs.lookups)):
+                        lk = cs.lookups[li]
+                        tbl = {"fixed": fixed_c, "advice": adv_c,
+                               "instance": inst_c}
+
+                        def rot_idx(rot, idx=idx):
+                            return (idx + rot) % n
+
+                        a_comp = 0
+                        for e in lk.input_exprs:
+                            a_comp = (a_comp * theta + _eval_expr(
+                                e, fixed_c, adv_c, inst_c, idx, rot_idx)) % FR
+                        s_comp = 0
+                        for e in lk.table_exprs:
+                            s_comp = (s_comp * theta + _eval_expr(
+                                e, fixed_c, adv_c, inst_c, idx, rot_idx)) % FR
+                        zv = lk_z_c[li][idx]
+                        z_next = lk_z_c[li][(idx + 1) % n]
+                        av = lk_ap_c[li][idx]
+                        a_prev = lk_ap_c[li][(idx - 1) % n]
+                        sv = lk_sp_c[li][idx]
+                        a_minus_s = (av - sv) % FR
+                        v = (v * y + lf[idx] * (1 - zv)) % FR
+                        v = (v * y + ll[idx] * (zv * zv - zv)) % FR
+                        v = (v * y + la[idx] * (
+                            z_next * ((av + beta) % FR) % FR
+                            * ((sv + gamma) % FR)
+                            - zv * ((a_comp + beta) % FR) % FR
+                            * ((s_comp + gamma) % FR))) % FR
+                        v = (v * y + lf[idx] * a_minus_s) % FR
+                        v = (v * y + la[idx] * a_minus_s
+                             * ((av - a_prev) % FR)) % FR
+                    acc[idx] = v
+            # divide by t(X) = X^n - 1 on this part's coset
+            t_eval = (pow(shift, n, FR) - 1) % FR
+            t_inv = pow(t_eval, FR - 2, FR)
+            value_parts.append([vv * t_inv % FR for vv in acc])
+
+        # reassemble extended evals: ext point e = zeta * w_ext^(part + idx
+        # * num_parts) -> h coeffs via extended ifft + zeta unscale
+        h_ext = [0] * ext_n
+        for part in range(num_parts):
+            for idx in range(n):
+                h_ext[part + idx * num_parts] = value_parts[part][idx]
+        h_coeffs_scaled = host_ifft(h_ext, omega_ext)
+        zeta_inv = pow(zeta, FR - 2, FR)
+        s = 1
+        h_coeffs = []
+        for j in range(ext_n):
+            h_coeffs.append(h_coeffs_scaled[j] * s % FR)
+            s = s * zeta_inv % FR
+        # split into quotient_poly_degree pieces of n
+        # (vanishing_prover_impl.h CreateFinalHPoly/CommitFinalHPoly)
+        qdeg = cs.required_degree() - 1
+        h_pieces = [
+            h_coeffs[i * n:(i + 1) * n] for i in range(qdeg)
+        ]
+        h_cms = []
+        for piece in h_pieces:
+            cm = kzg.commit(piece)
+            w.write_point(cm)
+            h_cms.append(cm)
+
+        x = w.squeeze_challenge()
+        x_next = x * omega % FR
+        x_last = x * pow(omega, (-(t_blind + 1)) % n, FR) % FR
+        x_n = pow(x, n, FR)
+
+        # --- evals (reference: prover.h:330-353 Evaluate + proof_reader.h
+        # order: advice per circuit, fixed, random, common sigma, z's) ----
+        def ev(po, pt):
+            return host_eval(po, pt)
+
+        advice_evals_out = []
+        for ci in range(num_circuits):
+            evs = []
+            for (cidx, rot) in cs.advice_queries:
+                pt = x * pow(omega, rot % n, FR) % FR
+                vv = ev(advice_polys_vec[ci][cidx], pt)
+                w.write_scalar(vv)
+                evs.append(vv)
+            advice_evals_out.append(evs)
+        fixed_evals_out = []
+        for (cidx, rot) in cs.fixed_queries:
+            pt = x * pow(omega, rot % n, FR) % FR
+            vv = ev(pk.fixed_polys[cidx], pt)
+            w.write_scalar(vv)
+            fixed_evals_out.append(vv)
+        random_eval = host_eval(random_poly, x)
+        w.write_scalar(random_eval)
+        common_perm_evals = []
+        for po in sigma_polys:
+            vv = ev(po, x)
+            w.write_scalar(vv)
+            common_perm_evals.append(vv)
+        pp_evals, pp_next_evals, pp_last_evals = [], [], []
+        for ci in range(num_circuits):
+            es, ns, ls = [], [], []
+            zps = perm_zp_vec[ci]
+            for ji, zp in enumerate(zps):
+                vv = ev(zp, x)
+                w.write_scalar(vv)
+                es.append(vv)
+                vv = ev(zp, x_next)
+                w.write_scalar(vv)
+                ns.append(vv)
+                if ji != len(zps) - 1:
+                    vv = ev(zp, x_last)
+                    w.write_scalar(vv)
+                    ls.append(vv)
+            pp_evals.append(es)
+            pp_next_evals.append(ns)
+            pp_last_evals.append(ls)
+        # lookup evals: z(x), z(wx), a'(x), a'(w^-1 x), s'(x) per lookup
+        # (lookup/halo2/prover_impl.h:203-232)
+        x_prev = x * pow(omega, n - 1, FR) % FR
+        lookup_evals_out = []
+        for ci in range(num_circuits):
+            evs = []
+            for li in range(len(cs.lookups)):
+                zp = lookup_zp_vec[ci][li]
+                pa, ps = lookup_permuted_polys_vec[ci][li]
+                e = {}
+                e["z_x"] = ev(zp, x)
+                w.write_scalar(e["z_x"])
+                e["z_wx"] = ev(zp, x_next)
+                w.write_scalar(e["z_wx"])
+                e["a_x"] = ev(pa, x)
+                w.write_scalar(e["a_x"])
+                e["a_prev"] = ev(pa, x_prev)
+                w.write_scalar(e["a_prev"])
+                e["s_x"] = ev(ps, x)
+                w.write_scalar(e["s_x"])
+                evs.append(e)
+            lookup_evals_out.append(evs)
+
+        # combined h poly for the opening: sum_i x^(n*i) * h_piece_i
+        combined_h = [0] * n
+        for i in range(len(h_pieces) - 1, -1, -1):
+            for jj in range(n):
+                combined_h[jj] = (combined_h[jj] * x_n
+                                  + h_pieces[i][jj]) % FR
+        h_eval = host_eval(combined_h, x)
+
+        # --- openings (reference: prover.h:355-407 Open order) ------------
+        openings = []  # (poly_id, coeffs, point, eval)
+        pid = 0
+
+        def add(poly_key, coeffs, pt):
+            openings.append((poly_key, coeffs, pt, host_eval(coeffs, pt)))
+
+        for ci in range(num_circuits):
+            for (cidx, rot) in cs.advice_queries:
+                pt = x * pow(omega, rot % n, FR) % FR
+                add(("advice", ci, cidx), advice_polys_vec[ci][cidx], pt)
+            zps = perm_zp_vec[ci]
+            for ji, zp in enumerate(zps):
+                add(("perm_z", ci, ji), zp, x)
+                add(("perm_z", ci, ji), zp, x_next)
+            for ji in range(len(zps) - 2, -1, -1):
+                add(("perm_z", ci, ji), zps[ji], x_last)
+            # lookup openings: z@x, a'@x, s'@x, a'@x_prev, z@x_next
+            # (lookup/halo2/prover_impl.h:236-268)
+            for li in range(len(cs.lookups)):
+                zp = lookup_zp_vec[ci][li]
+                pa, ps = lookup_permuted_polys_vec[ci][li]
+                add(("lookup_z", ci, li), zp, x)
+                add(("lookup_a", ci, li), pa, x)
+                add(("lookup_s", ci, li), ps, x)
+                add(("lookup_a", ci, li), pa, x_prev)
+                add(("lookup_z", ci, li), zp, x_next)
+        for (cidx, rot) in cs.fixed_queries:
+            pt = x * pow(omega, rot % n, FR) % FR
+            add(("fixed", cidx), pk.fixed_polys[cidx], pt)
+        for ji, po in enumerate(sigma_polys):
+            add(("sigma", ji), po, x)
+        add(("h",), combined_h, x)
+        add(("random",), random_poly, x)
+
+        shplonk_open(kzg, openings, w)
+
+        return Halo2Proof(
+            proof=bytes(w.proof),
+            advice_commitments=advice_cms_vec,
+            theta=theta, beta=beta, gamma=gamma,
+            permutation_product_commitments=perm_z_cms_vec,
+            vanishing_random_commitment=random_cm,
+            y=y, h_commitments=h_cms, x=x,
+            advice_evals=advice_evals_out,
+            fixed_evals=fixed_evals_out,
+            vanishing_random_eval=random_eval,
+            common_permutation_evals=common_perm_evals,
+            permutation_product_evals=pp_evals,
+            permutation_product_next_evals=pp_next_evals,
+            permutation_product_last_evals=pp_last_evals,
+            h_eval=h_eval,
+            lookup_permuted_commitments=lookup_permuted_cms_vec,
+            lookup_product_commitments=lookup_z_cms_vec,
+            lookup_evals=lookup_evals_out,
+        )
+
+
+# --- SHPlonk (host-exact; reference: crypto/commitments/kzg/shplonk.h:85-230
+# + polynomial_openings.h grouping) ----------------------------------------
+
+
+def _poly_sub(a, b):
+    m = max(len(a), len(b))
+    return [((a[i] if i < len(a) else 0) - (b[i] if i < len(b) else 0)) % FR
+            for i in range(m)]
+
+
+def _poly_scale(a, s):
+    return [v * s % FR for v in a]
+
+
+def _poly_add(a, b):
+    m = max(len(a), len(b))
+    return [((a[i] if i < len(a) else 0) + (b[i] if i < len(b) else 0)) % FR
+            for i in range(m)]
+
+
+def _poly_mul_linear(a, c):
+    """a(X) * (X - c)"""
+    out = [0] * (len(a) + 1)
+    for i, v in enumerate(a):
+        out[i + 1] = (out[i + 1] + v) % FR
+        out[i] = (out[i] - v * c) % FR
+    return out
+
+
+def _poly_div_linear(a, c):
+    """a(X) / (X - c) by synthetic division; asserts zero remainder."""
+    out = [0] * (len(a) - 1)
+    carry = 0
+    for i in range(len(a) - 1, 0, -1):
+        carry = (a[i] + carry * c) % FR
+        out[i - 1] = carry
+    assert (a[0] + carry * c) % FR == 0, "division has remainder"
+    return out
+
+
+def _lagrange_interpolate(points, values):
+    """exact Lagrange interpolation -> coeffs (low-to-high)."""
+    coeffs = [0] * len(points)
+    for i, (xi, yi) in enumerate(zip(points, values)):
+        basis = [1]
+        denom = 1
+        for jj, xj in enumerate(points):
+            if jj == i:
+                continue
+            basis = _poly_mul_linear(basis, xj)
+            denom = denom * (xi - xj) % FR
+        scale = yi * pow(denom, FR - 2, FR) % FR
+        coeffs = _poly_add(coeffs, _poly_scale(basis, scale))
+    return coeffs
+
+
+def shplonk_open(kzg: HostKZG, openings: list, w) -> None:
+    """openings: list of (poly_key, coeffs, point, eval); groups by
+    (oracle, point-set), then BDFG20: h = sum_groups v^i * sum_polys y^j *
+    (P - R)/Z_set; commit h; u; L = linear comb - Z_T(u) h; q = L/(X-u)
+    (reference: shplonk.h:85-230)."""
+    # group by poly oracle (key) preserving first-seen order
+    oracle_order = []
+    oracle_map = {}
+    super_points = set()
+    for key, coeffs, pt, vv in openings:
+        super_points.add(pt)
+        if key not in oracle_map:
+            oracle_map[key] = {"coeffs": coeffs, "points": {}, }
+            oracle_order.append(key)
+        oracle_map[key]["points"][pt] = vv
+    # group oracles by identical (sorted) point sets, first-seen order
+    set_order = []
+    set_map = {}
+    for key in oracle_order:
+        pts = tuple(sorted(oracle_map[key]["points"]))
+        if pts not in set_map:
+            set_map[pts] = []
+            set_order.append(pts)
+        set_map[pts].append(key)
+
+    y = w.squeeze_challenge()
+
+    h_polys = []
+    ldes = []  # per group: list of R polys (same order as group oracles)
+    for pts in set_order:
+        group = set_map[pts]
+        rs = []
+        for key in group:
+            info = oracle_map[key]
+            rs.append(_lagrange_interpolate(
+                list(pts), [info["points"][pt] for pt in pts]))
+        ldes.append(rs)
+        # sum_i y^i * (P_i - R_i), group order = first-seen order
+        # (shplonk.h LinearCombinationInPlace<forward=false>)
+        acc = [0]
+        for i, key in enumerate(group):
+            num = _poly_sub(oracle_map[key]["coeffs"], rs[i])
+            acc = _poly_add(acc, _poly_scale(num, pow(y, i, FR)))
+        for pt in pts:
+            acc = _poly_div_linear(acc, pt)
+        h_polys.append(acc)
+
+    v = w.squeeze_challenge()
+    h_poly = [0]
+    for i, hp in enumerate(h_polys):
+        h_poly = _poly_add(h_poly, _poly_scale(hp, pow(v, i, FR)))
+    h_cm = kzg.commit(h_poly)
+    w.write_point(h_cm)
+    u = w.squeeze_challenge()
+
+    sorted_super = sorted(super_points)
+    l_poly = [0]
+    first_z_diff = 1
+    for gi, pts in enumerate(set_order):
+        group = set_map[pts]
+        diffs = [pt for pt in sorted_super if pt not in pts]
+        z_diff = 1
+        for d in diffs:
+            z_diff = z_diff * (u - d) % FR
+        if gi == 0:
+            first_z_diff = z_diff
+        acc = [0]
+        for i, key in enumerate(group):
+            r_u = host_eval(ldes[gi][i], u)
+            poly = list(oracle_map[key]["coeffs"])
+            if poly:
+                poly[0] = (poly[0] - r_u) % FR
+            else:
+                poly = [(-r_u) % FR]
+            acc = _poly_add(acc, _poly_scale(poly, pow(y, i, FR)))
+        l_poly = _poly_add(l_poly, _poly_scale(acc, pow(v, gi, FR)
+                                               * z_diff % FR))
+    zt_eval = 1
+    for pt in sorted_super:
+        zt_eval = zt_eval * (u - pt) % FR
+    l_poly = _poly_sub(l_poly, _poly_scale(h_poly, zt_eval))
+    assert host_eval(l_poly, u) == 0
+    q_poly = _poly_div_linear(l_poly, u)
+    q_poly = _poly_scale(q_poly, pow(first_z_diff, FR - 2, FR))
+    q_cm = kzg.commit(q_poly)
+    w.write_point(q_cm)
