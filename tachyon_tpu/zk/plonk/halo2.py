@@ -464,11 +464,15 @@ class Halo2Prover:
         for ci, circuit in enumerate(circuits):
             cs_w = _copy.deepcopy(cs)
             planner = circuit.floor_planner(cs_w, n)
-            config = None
             # configure on a throwaway system for the config handle
             cs_throw = ConstraintSystem()
             cs_throw.lookup_type = cs.lookup_type
             config = circuit.configure(cs_throw)
+            # witness synthesis reads provided instance values
+            # (reference: witness_collection.h instances_)
+            for j, col in enumerate(instance_columns_vec[ci]):
+                for r, v in enumerate(col):
+                    planner.assignment.instance[j][r] = int(v) % FR
             assignment = planner.synthesize(circuit, config)
             cols = []
             cms = []

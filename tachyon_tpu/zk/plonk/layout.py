@@ -110,10 +110,11 @@ class Region:
     def assign_advice_from_instance(
         self, inst: ColumnRef, inst_row: int, col: ColumnRef, offset: int
     ) -> Cell:
-        """copy a public input into an advice cell (constrained equal)."""
+        """copy a public input into an advice cell; copy order is
+        (advice, instance) (reference: plan_region.h:65-80)."""
         v = self._p.assignment.get(inst, inst_row)
         cell = self.assign_advice(col, offset, v)
-        self._p.cs.copy((inst, inst_row), (col, cell.row))
+        self._p.cs.copy((col, cell.row), (inst, inst_row))
         return cell
 
     def constrain_equal(self, a: Cell, b: Cell):
@@ -214,15 +215,76 @@ class _ShapeRegion:
         pass  # copies recorded in the assignment pass only
 
 
-class V1FloorPlanner:
-    """Two-pass floor planner (reference: floor_planner/v1/v1_pass.h):
+class _Allocations:
+    """Disjoint allocated [start, start+len) intervals on one column
+    (reference: floor_planner/allocations.h)."""
 
-    pass 1 measures every region's column footprint and height; regions
-    are then packed with the slot-in-biggest-advice-first strategy
-    (v1/v1_strategy.h): sort by advice-cell count descending, place each
-    at the earliest start where all its columns are free; pass 2 replays
-    synthesis with the packed starts.  Dense circuits with disjoint
-    column footprints pack into fewer rows than the Simple planner."""
+    def __init__(self):
+        self.spans: list = []  # sorted (start, length)
+
+    def insert(self, start: int, length: int):
+        self.spans.append((start, length))
+        self.spans.sort()
+
+    def unbounded_interval_start(self) -> int:
+        if not self.spans:
+            return 0
+        s, ln = self.spans[-1]
+        return s + ln
+
+    def free_intervals(self, start: int, end):
+        """unallocated non-empty intervals intersecting [start, end);
+        end=None is unbounded; yields (s, e_or_None)."""
+        out = []
+        row = start
+        for s, ln in self.spans:
+            if end is not None and s >= end:
+                break
+            if row < s:
+                out.append((row, s))
+            row = max(row, s + ln)
+        if end is None or row < end:
+            out.append((row, end))
+        return out
+
+
+def _first_fit_region(allocs: dict, cols: list, length: int, start: int,
+                      slack):
+    """recursive first-fit with slack propagation
+    (reference: v1/v1_strategy.cc FirstFitRegion)."""
+    if not cols:
+        return start
+    c, rest = cols[0], cols[1:]
+    end = start + length + slack if slack is not None else None
+    alloc = allocs.setdefault(c, _Allocations())
+    for s, e in alloc.free_intervals(start, end):
+        s_slack = e - s - length if e is not None else None
+        if s_slack is None or s_slack >= 0:
+            row = _first_fit_region(allocs, rest, length, s, s_slack)
+            if row is not None:
+                alloc.insert(row, length)
+                return row
+    return None
+
+
+def _region_column_sort_key(col):
+    """RegionColumn ordering: columns before selectors; across column types
+    Instance < Advice < Fixed; ties keep insertion order (reference:
+    region_column.h:49-56, column_key.h:166-182)."""
+    if isinstance(col, tuple) and col and col[0] == "selector":
+        return (1, col[1])
+    rank = {"instance": 1, "advice": 2, "fixed": 3}[col.kind]
+    return (0, rank)
+
+
+class V1FloorPlanner:
+    """halo2's V1 floor planner (reference: floor_planner/v1/):
+
+    pass 1 measures every region (column footprint + height); regions are
+    sorted by advice area (columns x rows) descending and packed with the
+    recursive first-fit strategy over per-column free intervals; constants
+    are positioned in the constants columns' free intervals below the
+    first unassigned row; pass 2 replays synthesis at the packed starts."""
 
     def __init__(self, cs: ConstraintSystem, n: int):
         self.cs = cs
@@ -232,6 +294,8 @@ class V1FloorPlanner:
         self._shapes: list[_ShapeRegion] = []
         self._starts: list[int] = []
         self._region_idx = 0
+        self._constants: list = []  # (value, Cell) across regions, in order
+        self._constant_positions: list = []
 
     # Layouter surface ------------------------------------------------------
     def assign_region(self, name: str, fn: Callable[[Region], object]):
@@ -242,7 +306,9 @@ class V1FloorPlanner:
             return out
         region = Region(self, self._starts[self._region_idx])
         self._region_idx += 1
-        return fn(region)
+        out = fn(region)
+        self._constants.extend(region.constants)
+        return out
 
     def constrain_instance(self, cell: Cell, inst: ColumnRef, row: int):
         if not self._measuring:
@@ -253,43 +319,63 @@ class V1FloorPlanner:
             self.assignment.set(inst, row, value)
 
     def _pack(self):
-        """slot-in biggest-advice-first (v1/v1_strategy.h SlotIn)."""
-        order = sorted(
-            range(len(self._shapes)),
-            key=lambda i: -self._shapes[i].advice_cells,
-        )
-        # per-column occupied intervals [start, end)
-        occupied: dict = {}
+        """SlotInBiggestAdviceFirst (v1/v1_strategy.h:98-140): ascending
+        stable sort by advice area then reverse (reversed tie order, as the
+        reference's sort+reverse produces), then first-fit each region."""
+
+        def advice_area(shape):
+            cols = sum(
+                1 for c in shape.columns
+                if not (isinstance(c, tuple) and c[0] == "selector")
+                and c.kind == "advice"
+            )
+            return cols * shape.rows_used
+
+        order = sorted(range(len(self._shapes)),
+                       key=lambda i: advice_area(self._shapes[i]))
+        order.reverse()
+        allocs: dict = {}
         starts = [0] * len(self._shapes)
         for i in order:
             shape = self._shapes[i]
-            h = max(shape.rows_used, 1)
-            start = 0
-            while True:
-                clash = None
-                for col in shape.columns:
-                    for s, e in occupied.get(col, ()):  # few regions: O(k)
-                        if start < e and s < start + h:
-                            clash = e
-                            break
-                    if clash is not None:
-                        break
-                if clash is None:
-                    break
-                start = clash
-            starts[i] = start
-            for col in shape.columns:
-                occupied.setdefault(col, []).append((start, start + h))
+            cols = sorted(shape.columns, key=_region_column_sort_key)
+            row = _first_fit_region(allocs, cols, shape.rows_used, 0, None)
+            assert row is not None
+            starts[i] = row
         self._starts = starts
+        self._allocs = allocs
+
+    def _position_constants(self):
+        """constant cells go into the constants columns' free intervals
+        below the first unassigned row (v1_floor_planner.h:70-105)."""
+        first_unassigned = max(
+            (a.unbounded_interval_start() for a in self._allocs.values()),
+            default=0,
+        )
+        positions = []
+        for col in self.cs.constants:
+            alloc = self._allocs.get(col, _Allocations())
+            for s, e in alloc.free_intervals(0, first_unassigned):
+                for row in range(s, e):
+                    positions.append((col, row))
+        self._constant_positions = positions
 
     def synthesize(self, circuit, config):
         self._measuring = True
         self._shapes = []
         circuit.synthesize(config, self)  # measurement pass
         self._pack()
+        self._position_constants()
         self._measuring = False
         self._region_idx = 0
+        self._constants = []
         circuit.synthesize(config, self)  # assignment pass
+        assert len(self._constant_positions) >= len(self._constants), \
+            "not enough columns for constants"
+        for (value, cell), (col, row) in zip(self._constants,
+                                             self._constant_positions):
+            self.assignment.set(col, row, value)
+            self.cs.copy((col, row), (cell.column, cell.row))
         return self.assignment
 
 

@@ -141,3 +141,193 @@ class SimpleLookupCircuit:
 
     def instance_columns(self):
         return []
+
+
+class Fibonacci1Circuit:
+    """f(0)=f(1)=1, 8 add rows, out = f(9) exposed at instance row 2
+    (reference: fibonacci/fibonacci1_circuit.h)."""
+
+    def __init__(self, planner=SimpleFloorPlanner):
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @staticmethod
+    def configure(cs):
+        advice = [cs.advice_column() for _ in range(3)]
+        sel = cs.create_simple_selector()
+        instance = cs.instance_column()
+        for col in advice:
+            cs.enable_equality(col)
+        cs.enable_equality(instance)
+        s = cs.query_selector(sel)
+        a = cs.query(advice[0], 0)
+        b = cs.query(advice[1], 0)
+        c = cs.query(advice[2], 0)
+        cs.create_gate("add", [
+            ex.Product(s, ex.Sum(ex.Sum(a, b), ex.Negated(c)))
+        ])
+        return {"advice": advice, "selector": sel, "instance": instance}
+
+    def synthesize(self, config, layouter):
+        adv, sel, inst = config["advice"], config["selector"], config["instance"]
+
+        state = {}
+
+        def first_row(region):
+            region.enable_selector(sel, 0)
+            a_cell = region.assign_advice_from_instance(inst, 0, adv[0], 0)
+            b_cell = region.assign_advice_from_instance(inst, 1, adv[1], 0)
+            a_val = layouter.assignment.get(inst, 0)
+            b_val = layouter.assignment.get(inst, 1)
+            c_val = (a_val + b_val) % FR
+            c_cell = region.assign_advice(adv[2], 0, c_val)
+            state["prev"] = ((b_cell, b_val), (c_cell, c_val))
+
+        layouter.assign_region("first row", first_row)
+
+        for _i in range(3, 10):
+            (b_cell, b_val), (c_cell, c_val) = state["prev"]
+
+            def next_row(region, b_cell=b_cell, b_val=b_val,
+                         c_cell=c_cell, c_val=c_val):
+                region.enable_selector(sel, 0)
+                a_new = region.assign_advice(adv[0], 0, b_val)
+                region.constrain_equal(a_new, b_cell)
+                b_new = region.assign_advice(adv[1], 0, c_val)
+                region.constrain_equal(b_new, c_cell)
+                out_val = (b_val + c_val) % FR
+                out_cell = region.assign_advice(adv[2], 0, out_val)
+                state["out"] = (out_cell, out_val)
+
+            layouter.assign_region("next row", next_row)
+            state["prev"] = (state["prev"][1], state["out"])
+
+        layouter.constrain_instance(state["prev"][1][0], inst, 2)
+
+    def instance_columns(self):
+        f = [1, 1]
+        for _ in range(8):
+            f.append(f[-2] + f[-1])
+        return [[1, 1, f[9]]]
+
+
+class Fibonacci2Circuit:
+    """single-column fibonacci with Rotation(1)/Rotation(2) gate
+    (reference: fibonacci/fibonacci2_circuit.h)."""
+
+    def __init__(self, planner=SimpleFloorPlanner):
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @staticmethod
+    def configure(cs):
+        advice = cs.advice_column()
+        instance = cs.instance_column()
+        sel = cs.create_simple_selector()
+        cs.enable_equality(advice)
+        cs.enable_equality(instance)
+        s = cs.query_selector(sel)
+        a = cs.query(advice, 0)
+        b = cs.query(advice, 1)
+        c = cs.query(advice, 2)
+        cs.create_gate("add", [
+            ex.Product(s, ex.Sum(ex.Sum(a, b), ex.Negated(c)))
+        ])
+        return {"advice": advice, "selector": sel, "instance": instance}
+
+    def synthesize(self, config, layouter):
+        adv, sel, inst = config["advice"], config["selector"], config["instance"]
+        n_rows = 10
+        out = {}
+
+        def entire(region):
+            region.enable_selector(sel, 0)
+            region.enable_selector(sel, 1)
+            a_cell = region.assign_advice_from_instance(inst, 0, adv, 0)
+            b_cell = region.assign_advice_from_instance(inst, 1, adv, 1)
+            a_val = layouter.assignment.get(inst, 0)
+            b_val = layouter.assignment.get(inst, 1)
+            for row in range(2, n_rows):
+                if row < n_rows - 2:
+                    region.enable_selector(sel, row)
+                c_val = (a_val + b_val) % FR
+                c_cell = region.assign_advice(adv, row, c_val)
+                a_cell, a_val = b_cell, b_val
+                b_cell, b_val = c_cell, c_val
+            out["cell"] = b_cell
+
+        layouter.assign_region("entire fibonacci table", entire)
+        layouter.constrain_instance(out["cell"], inst, 2)
+
+    def instance_columns(self):
+        f = [1, 1]
+        for _ in range(8):
+            f.append(f[-2] + f[-1])
+        return [[1, 1, f[9]]]
+
+
+class Fibonacci3Circuit:
+    """if a == b {c} else {a - b} with an is_zero chip
+    (reference: fibonacci/fibonacci3_circuit.h + is_zero_chip.h)."""
+
+    def __init__(self, a=10, b=12, c=15, planner=SimpleFloorPlanner):
+        self.a, self.b, self.c = a, b, c
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @staticmethod
+    def configure(cs):
+        sel = cs.create_simple_selector()
+        a = cs.advice_column()
+        b = cs.advice_column()
+        c = cs.advice_column()
+        output = cs.advice_column()
+        value_inv = cs.advice_column()
+        # IsZeroChip::Configure (is_zero_chip.h:39-78)
+        s = cs.query_selector(sel)
+        a_q = cs.query(a, 0)
+        b_q = cs.query(b, 0)
+        value = ex.Sum(a_q, ex.Negated(b_q))
+        inv_q = cs.query(value_inv, 0)
+        is_zero = ex.Sum(ex.Constant(1),
+                         ex.Negated(ex.Product(value, inv_q)))
+        cs.create_gate("is_zero", [ex.Product(ex.Product(s, value), is_zero)])
+        # main gate (fibonacci3_circuit.h:74-98)
+        s2 = cs.query_selector(sel)
+        a2 = cs.query(a, 0)
+        b2 = cs.query(b, 0)
+        c2 = cs.query(c, 0)
+        out2 = cs.query(output, 0)
+        cs.create_gate("f(a, b, c) = if a == b {c} else {a - b}", [
+            ex.Product(s2, ex.Product(is_zero, ex.Sum(out2, ex.Negated(c2)))),
+            ex.Product(
+                ex.Product(s2, ex.Sum(ex.Constant(1), ex.Negated(is_zero))),
+                ex.Sum(out2, ex.Negated(ex.Sum(a2, ex.Negated(b2))))),
+        ])
+        return {"selector": sel, "a": a, "b": b, "c": c,
+                "output": output, "value_inv": value_inv}
+
+    def synthesize(self, config, layouter):
+        a, b, c = self.a % FR, self.b % FR, self.c % FR
+
+        def fn(region):
+            region.enable_selector(config["selector"], 0)
+            region.assign_advice(config["a"], 0, a)
+            region.assign_advice(config["b"], 0, b)
+            region.assign_advice(config["c"], 0, c)
+            diff = (a - b) % FR
+            inv = pow(diff, FR - 2, FR) if diff else 0
+            region.assign_advice(config["value_inv"], 0, inv)
+            output = c if a == b else diff
+            region.assign_advice(config["output"], 0, output)
+
+        layouter.assign_region("f(a, b, c) = if a == b {c} else {a - b}", fn)
+
+    def instance_columns(self):
+        return []
