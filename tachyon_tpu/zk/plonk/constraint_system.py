@@ -31,11 +31,39 @@ class Gate:
 @dataclasses.dataclass
 class LookupArgument:
     """input_exprs[i] must appear (as a theta-compressed tuple) among the
-    rows of table_exprs (reference: zk/lookup/argument.h)."""
+    rows of table_exprs (reference: zk/lookup/argument.h).  The
+    log-derivative scheme supports several input SETS per table
+    (inputs_list); the halo2 scheme always has exactly one."""
 
     name: str
     input_exprs: list
     table_exprs: list
+    inputs_list: list = None
+
+    def __post_init__(self):
+        if self.inputs_list is None:
+            self.inputs_list = [self.input_exprs]
+
+    def required_degree(self) -> int:
+        """reference: zk/lookup/argument.h:101-199 RequiredDegree (expr
+        degrees floor at 1)."""
+        combined = sum(
+            max([ex.degree(e) for e in inputs] + [1])
+            for inputs in self.inputs_list
+        )
+        table = max([ex.degree(e) for e in self.table_exprs] + [1])
+        return max(3 + len(self.inputs_list), 2 + combined + table)
+
+
+@dataclasses.dataclass
+class LookupTracker:
+    """log-derivative lookups keyed by table identifier: several input sets
+    share one table (reference: constraint_system.h LookupTracker +
+    UpdateLookupsMap)."""
+
+    name: str
+    table_exprs: list
+    inputs: list  # list of input-expr lists
 
 
 @dataclasses.dataclass
@@ -84,6 +112,12 @@ class ConstraintSystem:
     selectors: list = dataclasses.field(default_factory=list)
     # post-compression: selector index -> fixed ColumnRef
     selector_map: list = dataclasses.field(default_factory=list)
+    # log-derivative lookups before chunking: table identifier -> tracker
+    lookups_map: dict = dataclasses.field(default_factory=dict)
+    # multi-phase (reference: constraint_system.h advice_column_phases_/
+    # challenge_phases_; halo2 challenges API)
+    advice_column_phases: list = dataclasses.field(default_factory=list)
+    challenge_phases: list = dataclasses.field(default_factory=list)
 
     def usable_rows(self, n: int) -> int:
         """index u of the 'last' row: active rows are [0, u), blind rows
@@ -96,9 +130,26 @@ class ConstraintSystem:
         self.num_fixed += 1
         return ColumnRef("fixed", self.num_fixed - 1)
 
-    def advice_column(self) -> ColumnRef:
+    def advice_column(self, phase: int = 0) -> ColumnRef:
         self.num_advice += 1
+        self.advice_column_phases.append(phase)
         return ColumnRef("advice", self.num_advice - 1)
+
+    def challenge_usable_after(self, phase: int) -> ex.Challenge:
+        """register a challenge squeezed after the given phase's advice
+        commitments (halo2 meta.challenge_usable_after)."""
+        self.challenge_phases.append(phase)
+        return ex.Challenge(len(self.challenge_phases) - 1, phase)
+
+    @property
+    def num_challenges(self) -> int:
+        return len(self.challenge_phases)
+
+    def phases(self) -> list:
+        """all phases in order (reference: constraint_system.h GetPhases)."""
+        top = max(self.advice_column_phases + self.challenge_phases,
+                  default=0)
+        return list(range(top + 1))
 
     def instance_column(self) -> ColumnRef:
         self.num_instance += 1
@@ -242,7 +293,10 @@ class ConstraintSystem:
         for g in self.gates:
             g.polys = [substitute(p) for p in g.polys]
         for lk in self.lookups:
-            lk.input_exprs = [substitute(e) for e in lk.input_exprs]
+            lk.inputs_list = [
+                [substitute(e) for e in inputs] for inputs in lk.inputs_list
+            ]
+            lk.input_exprs = lk.inputs_list[0]
             lk.table_exprs = [substitute(e) for e in lk.table_exprs]
         for sh in self.shuffles:
             sh.input_exprs = [substitute(e) for e in sh.input_exprs]
@@ -253,10 +307,60 @@ class ConstraintSystem:
         self.gates.append(Gate(name, polys))
 
     def lookup(self, name: str, pairs: list):
-        """pairs: list of (input_expr, table_expr)."""
-        self.lookups.append(
-            LookupArgument(name, [p[0] for p in pairs], [p[1] for p in pairs])
-        )
+        """pairs: list of (input_expr, table_expr).  In log-derivative mode
+        lookups with an identical table-expression identifier merge into one
+        tracker (reference: constraint_system.h:786-806 UpdateLookupsMap);
+        chunk_lookups() materializes them into arguments."""
+        inputs = [p[0] for p in pairs]
+        tables = [p[1] for p in pairs]
+        if self.lookup_type == "log_derivative":
+            key = "".join(expression_identifier(e) for e in tables)
+            tracker = self.lookups_map.get(key)
+            if tracker is not None:
+                tracker.inputs.append(inputs)
+            else:
+                self.lookups_map[key] = LookupTracker(name, tables, [inputs])
+            return
+        self.lookups.append(LookupArgument(name, inputs, tables))
+
+    def chunk_lookups(self):
+        """split the log-derivative lookup trackers into arguments under the
+        degree budget (reference: constraint_system.h:266-343 ChunkLookups;
+        iteration follows the btree order of table identifiers)."""
+        assert self.lookup_type == "log_derivative"
+        if not self.lookups_map:
+            return
+        max_gate_degree = max(self.max_gate_degree(), 1)
+
+        def col_degree(exprs):
+            return max([ex.degree(e) for e in exprs] + [1])
+
+        max_single = 0
+        for key in sorted(self.lookups_map):
+            t = self.lookups_map[key]
+            base = max(3, col_degree(t.table_exprs) + 2)
+            max_inputs = max(col_degree(i) for i in t.inputs)
+            max_single = max(max_single, base + max_inputs)
+        required = max(max_gate_degree, max_single)
+        self.minimum_degree = (1 << (required - 1).bit_length()) + 1
+
+        for key in sorted(self.lookups_map):
+            t = self.lookups_map[key]
+            self.lookups.append(
+                LookupArgument(t.name, list(t.inputs[0]),
+                               list(t.table_exprs)))
+            for inputs in t.inputs[1:]:
+                added = False
+                for arg in self.lookups:
+                    if (arg.required_degree() + col_degree(inputs)
+                            <= self.minimum_degree):
+                        arg.inputs_list.append(list(inputs))
+                        added = True
+                        break
+                if not added:
+                    self.lookups.append(
+                        LookupArgument(t.name, list(inputs),
+                                       list(t.table_exprs)))
 
     def shuffle(self, name: str, pairs: list):
         """pairs: list of (input_expr, shuffle_expr)."""
@@ -297,7 +401,10 @@ class ConstraintSystem:
             for p in g.polys:
                 walk(p)
         for lk in self.lookups:
-            for e in list(lk.input_exprs) + list(lk.table_exprs):
+            for inputs in lk.inputs_list:
+                for e in inputs:
+                    walk(e)
+            for e in lk.table_exprs:
                 walk(e)
         for sh in self.shuffles:
             for e in list(sh.input_exprs) + list(sh.shuffle_exprs):
@@ -336,9 +443,13 @@ class ConstraintSystem:
             if self.lookup_type == "halo2":
                 # act * z(wx)(a'+beta)(s'+gamma) vs act * z(x)(A+b)(S+g)
                 deg = max(deg, 3 + act, 1 + act + din + dtb)
+            elif act:
+                # multi-input log-derivative formula
+                # (zk/lookup/argument.h:101-199)
+                deg = max(deg, lk.required_degree())
             else:
-                # act * ((phi(wx)-phi(x))(A+b)(S+b) - ((S+b) - m(A+b)))
-                deg = max(deg, 1 + act + din + dtb, 2)
+                # deterministic legacy mode (no l_active factor)
+                deg = max(deg, 1 + din + dtb, 2)
         for sh in self.shuffles:
             din = max((ex.degree(e) for e in sh.input_exprs), default=1)
             dsh = max((ex.degree(e) for e in sh.shuffle_exprs), default=1)
@@ -402,3 +513,31 @@ def build_permutation_mapping(cs: ConstraintSystem, n: int) -> np.ndarray:
         assert ca in col_idx and cb in col_idx, "enable_equality first"
         store.union(col_idx[ca] * n + ra, col_idx[cb] * n + rb)
     return store.to_mapping().reshape(len(cols), n)
+
+
+def expression_identifier(e) -> str:
+    """stable identifier string of an expression; keys the log-derivative
+    lookups map (reference: zk/plonk/expressions/evaluator/identifier.h)."""
+    if isinstance(e, ex.Constant):
+        return str(e.value)
+    if isinstance(e, ex.Negated):
+        return f"(-{expression_identifier(e.expr)})"
+    if isinstance(e, ex.Sum):
+        return (f"({expression_identifier(e.left)}+"
+                f"{expression_identifier(e.right)})")
+    if isinstance(e, ex.Product):
+        return (f"({expression_identifier(e.left)}*"
+                f"{expression_identifier(e.right)})")
+    if isinstance(e, ex.Scaled):
+        return f"*{e.scale}"
+    if isinstance(e, ex.Fixed):
+        return f"fixed[{e.column}][{e.rotation}]"
+    if isinstance(e, ex.Advice):
+        return f"advice[{e.column}][{e.rotation}]"
+    if isinstance(e, ex.Instance):
+        return f"instance[{e.column}][{e.rotation}]"
+    if isinstance(e, ex.Challenge):
+        return f"challenge[{e.index}]"
+    if isinstance(e, ex.Selector):
+        return f"selector[{e.index}]"
+    raise TypeError(e)

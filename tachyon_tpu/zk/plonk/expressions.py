@@ -42,6 +42,7 @@ class Instance:
 @dataclasses.dataclass(frozen=True)
 class Challenge:
     index: int
+    phase: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

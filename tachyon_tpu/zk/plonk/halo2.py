@@ -252,11 +252,13 @@ class Halo2ProvingKey:
     pinned_vk: str = ""
     transcript_repr: int = 0
     vendor: str = "scroll"
+    pcs: str = "shplonk"  # "shplonk" (BDFG20) or "gwc" (GWC19)
 
 
 def keygen(circuit, k: int, tau: int = 2,
            vendor: str = "scroll",
-           lookup_type: str = "halo2") -> Halo2ProvingKey:
+           lookup_type: str = "halo2",
+           pcs: str = "shplonk") -> Halo2ProvingKey:
     """Full halo2 keygen (reference: zk/plonk/keys/key.h PreLoad,
     verifying_key.h DoLoad, proving_key.h DoLoad).
 
@@ -267,6 +269,8 @@ def keygen(circuit, k: int, tau: int = 2,
     cs = ConstraintSystem()
     cs.lookup_type = lookup_type
     config = circuit.configure(cs)
+    if lookup_type == "log_derivative":
+        cs.chunk_lookups()  # reference: keys/key.h:71-73
     cs.blinding_factors = cs.compute_blinding_factors()
     usable = n - (cs.blinding_factors + 1)
 
@@ -344,19 +348,22 @@ def keygen(circuit, k: int, tau: int = 2,
         fixed_commitments=fixed_commitments,
         permutation_commitments=permutation_commitments,
         deltas=deltas, pinned_vk=pinned, transcript_repr=repr_int,
-        vendor=vendor,
+        vendor=vendor, pcs=pcs,
     )
 
 
 # --- prover ----------------------------------------------------------------
 
 
-def _eval_expr(e, fixed, advice, instance, idx, rot_idx, p=FR):
+def _eval_expr(e, fixed, advice, instance, idx, rot_idx, p=FR,
+               challenges=None):
     """evaluate an expression at one row of per-part coset tables
     (reference: vanishing/graph_evaluator.h compiled to a register machine;
     host-exact interpreter here)."""
     if isinstance(e, ex.Constant):
         return e.value % p
+    if isinstance(e, ex.Challenge):
+        return challenges[e.index] % p
     if isinstance(e, ex.Fixed):
         return fixed[e.column][rot_idx(e.rotation)]
     if isinstance(e, ex.Advice):
@@ -364,16 +371,21 @@ def _eval_expr(e, fixed, advice, instance, idx, rot_idx, p=FR):
     if isinstance(e, ex.Instance):
         return instance[e.column][rot_idx(e.rotation)]
     if isinstance(e, ex.Negated):
-        return (-_eval_expr(e.expr, fixed, advice, instance, idx, rot_idx)) % p
+        return (-_eval_expr(e.expr, fixed, advice, instance, idx, rot_idx,
+                            p, challenges)) % p
     if isinstance(e, ex.Scaled):
-        return _eval_expr(e.expr, fixed, advice, instance, idx, rot_idx) \
-            * e.scale % p
+        return _eval_expr(e.expr, fixed, advice, instance, idx, rot_idx,
+                          p, challenges) * e.scale % p
     if isinstance(e, ex.Sum):
-        return (_eval_expr(e.left, fixed, advice, instance, idx, rot_idx)
-                + _eval_expr(e.right, fixed, advice, instance, idx, rot_idx)) % p
+        return (_eval_expr(e.left, fixed, advice, instance, idx, rot_idx,
+                           p, challenges)
+                + _eval_expr(e.right, fixed, advice, instance, idx, rot_idx,
+                             p, challenges)) % p
     if isinstance(e, ex.Product):
-        return _eval_expr(e.left, fixed, advice, instance, idx, rot_idx) \
-            * _eval_expr(e.right, fixed, advice, instance, idx, rot_idx) % p
+        return _eval_expr(e.left, fixed, advice, instance, idx, rot_idx,
+                          p, challenges) \
+            * _eval_expr(e.right, fixed, advice, instance, idx, rot_idx,
+                         p, challenges) % p
     raise TypeError(e)
 
 
@@ -411,15 +423,27 @@ class Halo2Proof:
     lookup_permuted_commitments: list = dataclasses.field(default_factory=list)
     lookup_product_commitments: list = dataclasses.field(default_factory=list)
     lookup_evals: list = dataclasses.field(default_factory=list)
+    lookup_m_commitments: list = dataclasses.field(default_factory=list)
+    shuffle_product_commitments: list = dataclasses.field(default_factory=list)
+    shuffle_evals: list = dataclasses.field(default_factory=list)
+    challenges: dict = dataclasses.field(default_factory=dict)
 
 
 class Halo2Prover:
     """Scroll-vendor halo2 prover, host-exact
     (reference: zk/plonk/halo2/prover.h:67-327 CreateProof)."""
 
-    def __init__(self, pk: Halo2ProvingKey, rng: RandomFieldGenerator | None = None):
+    def __init__(self, pk: Halo2ProvingKey,
+                 rng: RandomFieldGenerator | None = None,
+                 legacy_serialization: bool = True):
+        """legacy_serialization: point flag at bit 7 (y-odd) vs the new
+        form (bit 7 = infinity, bit 6 = y-odd); the reference defaults to
+        legacy and the C API / Rust vendors use the new form
+        (proof_serializer.h s_use_legacy_serialization,
+        c/zk/plonk/halo2/prover_impl_base.h:31)."""
         self.pk = pk
         self.rng = rng or RandomFieldGenerator()
+        self.legacy_serialization = legacy_serialization
 
     def create_proof(self, circuits: list, instance_columns_vec: list
                      ) -> Halo2Proof:
@@ -433,59 +457,71 @@ class Halo2Prover:
         omega, kzg = pk.omega, pk.kzg
         t_blind = cs.blinding_factors
         usable = pk.usable_rows
-        assert not cs.shuffles, "shuffle golden path: next milestone"
-        assert cs.lookup_type == "halo2" or not cs.lookups
+        log_derivative = cs.lookup_type == "log_derivative"
 
-        w = TranscriptWriter(FieldSpecShim(FR), FieldSpecShim(FQ))
+        w = TranscriptWriter(FieldSpecShim(FR), FieldSpecShim(FQ),
+                             legacy=self.legacy_serialization)
         w.common_scalar(pk.transcript_repr)
 
         num_circuits = len(circuits)
-        # instance polys; values absorbed as scalars (KZG: kQueryInstance
-        # = false; reference: argument_data.h:164-201)
+        # instance polys (reference: argument_data.h:164-201): SHPlonk
+        # (kQueryInstance=false) absorbs raw values; GWC
+        # (kQueryInstance=true, gwc_extension.h:44) absorbs commitments
+        query_instance = pk.pcs == "gwc"
         instance_polys_vec = []
         instance_evals_vec = []
         for insts in instance_columns_vec:
             polys, evals = [], []
             for col in insts:
-                for v in col:
-                    w.common_scalar(v % FR)
                 padded = [v % FR for v in col] + [0] * (n - len(col))
+                if query_instance:
+                    w.common_point(kzg.commit_lagrange(padded, omega))
+                else:
+                    for v in col:
+                        w.common_scalar(v % FR)
                 evals.append(padded)
                 polys.append(host_ifft(padded, omega))
             instance_polys_vec.append(polys)
             instance_evals_vec.append(evals)
 
-        # advice synthesis per circuit (reference: synthesizer.h:40-97 —
-        # last row pinned to one, one blind draw per column after commit)
+        # advice synthesis per phase per circuit (reference:
+        # synthesizer.h:40-97 — last row pinned to one, one blind draw per
+        # column after commit; phase challenges squeezed after each phase's
+        # commitments, synthesizer.h:153-165)
         import copy as _copy
 
-        advice_evals_vec = []
-        advice_cms_vec = []
-        for ci, circuit in enumerate(circuits):
-            cs_w = _copy.deepcopy(cs)
-            planner = circuit.floor_planner(cs_w, n)
-            # configure on a throwaway system for the config handle
-            cs_throw = ConstraintSystem()
-            cs_throw.lookup_type = cs.lookup_type
-            config = circuit.configure(cs_throw)
-            # witness synthesis reads provided instance values
-            # (reference: witness_collection.h instances_)
-            for j, col in enumerate(instance_columns_vec[ci]):
-                for r, v in enumerate(col):
-                    planner.assignment.instance[j][r] = int(v) % FR
-            assignment = planner.synthesize(circuit, config)
-            cols = []
-            cms = []
-            for col in assignment.advice:
-                vals = [int(v) % FR for v in col]
-                vals[n - 1] = 1
-                cm = kzg.commit_lagrange(vals, omega)
-                w.write_point(cm)
-                rng.generate()  # the (KZG-unused) Blind scalar draw
-                cols.append(vals)
-                cms.append(cm)
-            advice_evals_vec.append(cols)
-            advice_cms_vec.append(cms)
+        phases = cs.phases()
+        challenges = {}
+        advice_evals_vec = [[None] * cs.num_advice for _ in circuits]
+        advice_cms_vec = [[None] * cs.num_advice for _ in circuits]
+        for phase in phases:
+            for ci, circuit in enumerate(circuits):
+                cs_w = _copy.deepcopy(cs)
+                planner = circuit.floor_planner(cs_w, n)
+                # configure on a throwaway system for the config handle
+                cs_throw = ConstraintSystem()
+                cs_throw.lookup_type = cs.lookup_type
+                config = circuit.configure(cs_throw)
+                planner.challenges = dict(challenges)
+                # witness synthesis reads provided instance values
+                # (reference: witness_collection.h instances_)
+                for j, col in enumerate(instance_columns_vec[ci]):
+                    for r, v in enumerate(col):
+                        planner.assignment.instance[j][r] = int(v) % FR
+                assignment = planner.synthesize(circuit, config)
+                for j, col in enumerate(assignment.advice):
+                    if cs.advice_column_phases[j] != phase:
+                        continue
+                    vals = [int(v) % FR for v in col]
+                    vals[n - 1] = 1
+                    cm = kzg.commit_lagrange(vals, omega)
+                    w.write_point(cm)
+                    rng.generate()  # the (KZG-unused) Blind scalar draw
+                    advice_evals_vec[ci][j] = vals
+                    advice_cms_vec[ci][j] = cm
+            for i, ph in enumerate(cs.challenge_phases):
+                if ph == phase:
+                    challenges[i] = w.squeeze_challenge()
 
         theta = w.squeeze_challenge()
 
@@ -505,7 +541,8 @@ class Halo2Prover:
             def rot_idx(rot):
                 return (r + rot) % n
             return _eval_expr(e, table["fixed"], table["advice"],
-                              table["instance"], r, rot_idx)
+                              table["instance"], r, rot_idx,
+                              challenges=challenges)
 
         def compress(exprs, table):
             out = []
@@ -517,8 +554,62 @@ class Halo2Prover:
             return out
 
         lookup_compressed_vec = []  # [circuit][lookup] -> (A_comp, S_comp)
-        lookup_permuted_vec = []  # [circuit][lookup] -> (A', S')
-        for ci in range(num_circuits):
+        # log-derivative: [circuit][lookup] -> ([A_comp per set], S_comp)
+        lookup_permuted_vec = (
+            [[] for _ in range(num_circuits)] if log_derivative else []
+        )  # [circuit][lookup] -> (A', S')
+        lookup_m_vec = []  # log-derivative: [circuit][lookup] -> m evals
+        if log_derivative:
+            # compress + m polys (lookup/log_derivative_halo2/
+            # prover_impl.h:55-156; one Blind-scalar draw per m poly)
+            for ci in range(num_circuits):
+                comp, ms = [], []
+                for lk in cs.lookups:
+                    a_comps = [compress(inputs, col_tables[ci])
+                               for inputs in lk.inputs_list]
+                    s_comp = compress(lk.table_exprs, col_tables[ci])
+                    comp.append((a_comps, s_comp))
+                    # stable-sort table rows by value, then the reference's
+                    # midpoint binary search decides WHICH duplicate row's
+                    # multiplicity is bumped (container_util.h:169-184 — a
+                    # classic binary search, not lower_bound; the probe path
+                    # picks the tie)
+                    sorted_rows = sorted(range(usable),
+                                         key=lambda r: s_comp[r])
+
+                    def bsearch(v):
+                        left, right = 0, usable
+                        while left < right:
+                            mid = left + (right - left) // 2
+                            mv = s_comp[sorted_rows[mid]]
+                            if mv < v:
+                                left = mid + 1
+                            elif v < mv:
+                                right = mid
+                            else:
+                                return sorted_rows[mid]
+                        return None
+
+                    m = [0] * n
+                    for a_comp in a_comps:
+                        for r in range(usable):
+                            row = bsearch(a_comp[r])
+                            if row is not None:
+                                m[row] += 1
+                    rng.generate()  # m poly Blind scalar
+                    ms.append(m)
+                lookup_compressed_vec.append(comp)
+                lookup_m_vec.append(ms)
+            lookup_permuted_cms_vec = [[] for _ in range(num_circuits)]
+            lookup_m_cms_vec = []
+            for ci in range(num_circuits):
+                cms = []
+                for m in lookup_m_vec[ci]:
+                    cm = kzg.commit_lagrange(m, omega)
+                    w.write_point(cm)
+                    cms.append(cm)
+                lookup_m_cms_vec.append(cms)
+        for ci in range(num_circuits if not log_derivative else 0):
             comp, perm = [], []
             for lk in cs.lookups:
                 a_comp = compress(lk.input_exprs, col_tables[ci])
@@ -555,18 +646,19 @@ class Halo2Prover:
                 perm.append((a_p, s_p))
             lookup_compressed_vec.append(comp)
             lookup_permuted_vec.append(perm)
-        lookup_permuted_cms_vec = []
-        for ci in range(num_circuits):
-            cms = []
-            for a_p, s_p in lookup_permuted_vec[ci]:
-                cma = kzg.commit_lagrange(a_p, omega)
-                w.write_point(cma)
-                cms_pair = [cma]
-                cmb = kzg.commit_lagrange(s_p, omega)
-                w.write_point(cmb)
-                cms_pair.append(cmb)
-                cms.append(tuple(cms_pair))
-            lookup_permuted_cms_vec.append(cms)
+        if not log_derivative:
+            lookup_permuted_cms_vec = []
+            for ci in range(num_circuits):
+                cms = []
+                for a_p, s_p in lookup_permuted_vec[ci]:
+                    cma = kzg.commit_lagrange(a_p, omega)
+                    w.write_point(cma)
+                    cms_pair = [cma]
+                    cmb = kzg.commit_lagrange(s_p, omega)
+                    w.write_point(cmb)
+                    cms_pair.append(cmb)
+                    cms.append(tuple(cms_pair))
+                lookup_permuted_cms_vec.append(cms)
 
         beta = w.squeeze_challenge()
         gamma = w.squeeze_challenge()
@@ -604,12 +696,32 @@ class Halo2Prover:
                 zs.append(z)
             perm_z_vec.append(zs)
 
-        # lookup grand products (reference: prover.h:199-205,
-        # lookup/halo2/prover_impl.h:129-160 + grand_product_argument.h:40-61)
+        # lookup grand products/sums (reference: prover.h:199-205,
+        # lookup/halo2/prover_impl.h:129-160 + grand_product_argument.h:40-61;
+        # log-derivative: log_derivative_halo2/prover_impl.h:203-300)
         lookup_z_vec = []
         for ci in range(num_circuits):
             zs = []
             for li in range(len(cs.lookups)):
+                if log_derivative:
+                    a_comps, s_comp = lookup_compressed_vec[ci][li]
+                    m = lookup_m_vec[ci][li]
+                    # phi(w^0)=0; phi(w^{i+1}) = phi(w^i) + L(w^i) where
+                    # L = sum_j 1/(f_j + beta) - m/(t + beta)
+                    # phi(w^{i+1}) = phi(w^i) + L(w^i) for i < usable-1;
+                    # phi(w^usable) stays 0 (the sum telescopes to zero)
+                    z = [0] * n
+                    for i in range(usable - 1):
+                        l_val = 0
+                        for a_comp in a_comps:
+                            l_val += pow(a_comp[i] + beta, FR - 2, FR)
+                        l_val -= m[i] * pow(s_comp[i] + beta, FR - 2, FR)
+                        z[i + 1] = (z[i] + l_val) % FR
+                    for i in range(n - t_blind, n):
+                        z[i] = rng.generate()
+                    rng.generate()  # Blind scalar
+                    zs.append(z)
+                    continue
                 a_comp, s_comp = lookup_compressed_vec[ci][li]
                 a_p, s_p = lookup_permuted_vec[ci][li]
                 ratios = []
@@ -626,6 +738,27 @@ class Halo2Prover:
                 rng.generate()  # Blind scalar
                 zs.append(z)
             lookup_z_vec.append(zs)
+
+        # shuffle grand products (reference: prover.h:208-211 +
+        # shuffle/prover_impl.h:73-135: compress with theta AFTER beta/gamma,
+        # z ratios (A+gamma)/(S+gamma), blind t rows, one Blind-scalar draw)
+        shuffle_z_vec = []
+        for ci in range(num_circuits):
+            zs = []
+            for sh in cs.shuffles:
+                a_comp = compress(sh.input_exprs, col_tables[ci])
+                s_comp = compress(sh.shuffle_exprs, col_tables[ci])
+                z = [0] * n
+                z[0] = 1
+                for i in range(usable):
+                    ratio = (a_comp[i] + gamma) * pow(
+                        (s_comp[i] + gamma) % FR, FR - 2, FR) % FR
+                    z[i + 1] = z[i] * ratio % FR
+                for i in range(n - t_blind, n):
+                    z[i] = rng.generate()
+                rng.generate()  # Blind scalar
+                zs.append(z)
+            shuffle_z_vec.append(zs)
 
         # vanishing random poly = 1 (vanishing_prover_impl.h:23-38)
         random_poly = [1]
@@ -647,6 +780,14 @@ class Halo2Prover:
                 w.write_point(cm)
                 cms.append(cm)
             lookup_z_cms_vec.append(cms)
+        shuffle_z_cms_vec = []
+        for ci in range(num_circuits):
+            cms = []
+            for z in shuffle_z_vec[ci]:
+                cm = kzg.commit_lagrange(z, omega)
+                w.write_point(cm)
+                cms.append(cm)
+            shuffle_z_cms_vec.append(cms)
         random_cm = kzg.commit(random_poly)
         w.write_point(random_cm)
 
@@ -666,6 +807,12 @@ class Halo2Prover:
             [(host_ifft(a_p, omega), host_ifft(s_p, omega))
              for a_p, s_p in pairs]
             for pairs in lookup_permuted_vec
+        ]
+        lookup_mp_vec = [
+            [host_ifft(m, omega) for m in ms] for ms in lookup_m_vec
+        ] if log_derivative else [[] for _ in range(num_circuits)]
+        shuffle_zp_vec = [
+            [host_ifft(z, omega) for z in zs] for zs in shuffle_z_vec
         ]
 
         # --- h(X) (reference: circuit_polynomial_builder.h Scroll by-parts;
@@ -718,6 +865,14 @@ class Halo2Prover:
                     _coset_evals(ps, shift, omega, n)
                     for _pa, ps in lookup_permuted_polys_vec[ci]
                 ]
+                lk_m_c = [
+                    _coset_evals(mp, shift, omega, n)
+                    for mp in lookup_mp_vec[ci]
+                ]
+                sh_z_c = [
+                    _coset_evals(po, shift, omega, n)
+                    for po in shuffle_zp_vec[ci]
+                ]
                 for idx in range(n):
                     def rot_idx(rot, idx=idx):
                         return (idx + rot) % n
@@ -726,7 +881,8 @@ class Halo2Prover:
                     for g in cs.gates:
                         for poly in g.polys:
                             gv = _eval_expr(poly, fixed_c, adv_c, inst_c,
-                                            idx, rot_idx)
+                                            idx, rot_idx,
+                                            challenges=challenges)
                             v = (v * y + gv) % FR
                     if z_c:
                         # part 1: l_first * (1 - z_0); l_last * (z_l^2 - z_l)
@@ -761,25 +917,46 @@ class Halo2Prover:
                             jcol += len(chunk)
                             v = (v * y + (left - right) * la[idx]) % FR
                     # lookup identities (reference:
-                    # lookup/halo2/evaluator.h:92-127 — five per lookup)
+                    # lookup/halo2/evaluator.h:92-127 — five per lookup;
+                    # log_derivative_halo2/evaluator.h:120-177 — three)
                     for li in range(len(cs.lookups)):
                         lk = cs.lookups[li]
-                        tbl = {"fixed": fixed_c, "advice": adv_c,
-                               "instance": inst_c}
 
                         def rot_idx(rot, idx=idx):
                             return (idx + rot) % n
 
-                        a_comp = 0
-                        for e in lk.input_exprs:
-                            a_comp = (a_comp * theta + _eval_expr(
-                                e, fixed_c, adv_c, inst_c, idx, rot_idx)) % FR
-                        s_comp = 0
-                        for e in lk.table_exprs:
-                            s_comp = (s_comp * theta + _eval_expr(
-                                e, fixed_c, adv_c, inst_c, idx, rot_idx)) % FR
+                        def comp_at(exprs):
+                            acc2 = 0
+                            for e in exprs:
+                                acc2 = (acc2 * theta + _eval_expr(
+                                    e, fixed_c, adv_c, inst_c, idx,
+                                    rot_idx, challenges=challenges)) % FR
+                            return acc2
+
                         zv = lk_z_c[li][idx]
                         z_next = lk_z_c[li][(idx + 1) % n]
+                        if log_derivative:
+                            phis = [(comp_at(inputs) + beta) % FR
+                                    for inputs in lk.inputs_list]
+                            tau = (comp_at(lk.table_exprs) + beta) % FR
+                            prod = 1
+                            for p_v in phis:
+                                prod = prod * p_v % FR
+                            lhs = tau * prod % FR * ((z_next - zv) % FR) % FR
+                            excl = 0
+                            for i2 in range(len(phis)):
+                                t2 = 1
+                                for j2, p_v in enumerate(phis):
+                                    if j2 != i2:
+                                        t2 = t2 * p_v % FR
+                                excl = (excl + t2) % FR
+                            rhs = (tau * excl - prod * lk_m_c[li][idx]) % FR
+                            v = (v * y + lf[idx] * zv) % FR
+                            v = (v * y + ll[idx] * zv) % FR
+                            v = (v * y + (lhs - rhs) * la[idx]) % FR
+                            continue
+                        a_comp = comp_at(lk.input_exprs)
+                        s_comp = comp_at(lk.table_exprs)
                         av = lk_ap_c[li][idx]
                         a_prev = lk_ap_c[li][(idx - 1) % n]
                         sv = lk_sp_c[li][idx]
@@ -794,6 +971,29 @@ class Halo2Prover:
                         v = (v * y + lf[idx] * a_minus_s) % FR
                         v = (v * y + la[idx] * a_minus_s
                              * ((av - a_prev) % FR)) % FR
+                    # shuffle identities (reference:
+                    # shuffle/evaluator.h:71-130 — three per shuffle)
+                    for si, sh in enumerate(cs.shuffles):
+                        def rot_idx(rot, idx=idx):
+                            return (idx + rot) % n
+
+                        def comp_at2(exprs):
+                            acc2 = 0
+                            for e in exprs:
+                                acc2 = (acc2 * theta + _eval_expr(
+                                    e, fixed_c, adv_c, inst_c, idx,
+                                    rot_idx, challenges=challenges)) % FR
+                            return acc2
+
+                        zv = sh_z_c[si][idx]
+                        z_next = sh_z_c[si][(idx + 1) % n]
+                        a_comp = comp_at2(sh.input_exprs)
+                        s_comp = comp_at2(sh.shuffle_exprs)
+                        v = (v * y + lf[idx] * (1 - zv)) % FR
+                        v = (v * y + ll[idx] * (zv * zv - zv)) % FR
+                        v = (v * y + la[idx] * (
+                            z_next * ((s_comp + gamma) % FR)
+                            - zv * ((a_comp + gamma) % FR))) % FR
                     acc[idx] = v
             # divide by t(X) = X^n - 1 on this part's coset
             t_eval = (pow(shift, n, FR) - 1) % FR
@@ -835,6 +1035,17 @@ class Halo2Prover:
         def ev(po, pt):
             return host_eval(po, pt)
 
+        instance_evals_out = []
+        if query_instance:
+            # instance evals first (vanishing_prover_impl.h:160-166)
+            for ci in range(num_circuits):
+                evs = []
+                for (cidx, rot) in cs.instance_queries:
+                    pt = x * pow(omega, rot % n, FR) % FR
+                    vv = ev(instance_polys_vec[ci][cidx], pt)
+                    w.write_scalar(vv)
+                    evs.append(vv)
+                instance_evals_out.append(evs)
         advice_evals_out = []
         for ci in range(num_circuits):
             evs = []
@@ -883,12 +1094,19 @@ class Halo2Prover:
             evs = []
             for li in range(len(cs.lookups)):
                 zp = lookup_zp_vec[ci][li]
-                pa, ps = lookup_permuted_polys_vec[ci][li]
                 e = {}
                 e["z_x"] = ev(zp, x)
                 w.write_scalar(e["z_x"])
                 e["z_wx"] = ev(zp, x_next)
                 w.write_scalar(e["z_wx"])
+                if log_derivative:
+                    # phi(x), phi(wx), m(x)
+                    # (log_derivative_halo2/prover_impl.h:359-383)
+                    e["m_x"] = ev(lookup_mp_vec[ci][li], x)
+                    w.write_scalar(e["m_x"])
+                    evs.append(e)
+                    continue
+                pa, ps = lookup_permuted_polys_vec[ci][li]
                 e["a_x"] = ev(pa, x)
                 w.write_scalar(e["a_x"])
                 e["a_prev"] = ev(pa, x_prev)
@@ -897,6 +1115,16 @@ class Halo2Prover:
                 w.write_scalar(e["s_x"])
                 evs.append(e)
             lookup_evals_out.append(evs)
+        # shuffle evals: z(x), z(wx) (shuffle/prover_impl.h:139-161)
+        shuffle_evals_out = []
+        for ci in range(num_circuits):
+            evs = []
+            for zp in shuffle_zp_vec[ci]:
+                e = {"z_x": ev(zp, x), "z_wx": ev(zp, x_next)}
+                w.write_scalar(e["z_x"])
+                w.write_scalar(e["z_wx"])
+                evs.append(e)
+            shuffle_evals_out.append(evs)
 
         # combined h poly for the opening: sum_i x^(n*i) * h_piece_i
         combined_h = [0] * n
@@ -914,6 +1142,13 @@ class Halo2Prover:
             openings.append((poly_key, coeffs, pt, host_eval(coeffs, pt)))
 
         for ci in range(num_circuits):
+            if query_instance:
+                # instance openings precede advice
+                # (vanishing_prover_impl.h:218-233)
+                for (cidx, rot) in cs.instance_queries:
+                    pt = x * pow(omega, rot % n, FR) % FR
+                    add(("instance", ci, cidx),
+                        instance_polys_vec[ci][cidx], pt)
             for (cidx, rot) in cs.advice_queries:
                 pt = x * pow(omega, rot % n, FR) % FR
                 add(("advice", ci, cidx), advice_polys_vec[ci][cidx], pt)
@@ -923,16 +1158,27 @@ class Halo2Prover:
                 add(("perm_z", ci, ji), zp, x_next)
             for ji in range(len(zps) - 2, -1, -1):
                 add(("perm_z", ci, ji), zps[ji], x_last)
-            # lookup openings: z@x, a'@x, s'@x, a'@x_prev, z@x_next
-            # (lookup/halo2/prover_impl.h:236-268)
+            # lookup openings: halo2 z@x, a'@x, s'@x, a'@x_prev, z@x_next
+            # (lookup/halo2/prover_impl.h:236-268); log-derivative phi@x,
+            # phi@x_next, m@x (log_derivative_halo2/prover_impl.h:386-410)
             for li in range(len(cs.lookups)):
                 zp = lookup_zp_vec[ci][li]
+                if log_derivative:
+                    add(("lookup_z", ci, li), zp, x)
+                    add(("lookup_z", ci, li), zp, x_next)
+                    add(("lookup_m", ci, li), lookup_mp_vec[ci][li], x)
+                    continue
                 pa, ps = lookup_permuted_polys_vec[ci][li]
                 add(("lookup_z", ci, li), zp, x)
                 add(("lookup_a", ci, li), pa, x)
                 add(("lookup_s", ci, li), ps, x)
                 add(("lookup_a", ci, li), pa, x_prev)
                 add(("lookup_z", ci, li), zp, x_next)
+            # shuffle openings: z@x, z@x_next
+            # (shuffle/prover_impl.h:163-187)
+            for si, zp in enumerate(shuffle_zp_vec[ci]):
+                add(("shuffle_z", ci, si), zp, x)
+                add(("shuffle_z", ci, si), zp, x_next)
         for (cidx, rot) in cs.fixed_queries:
             pt = x * pow(omega, rot % n, FR) % FR
             add(("fixed", cidx), pk.fixed_polys[cidx], pt)
@@ -941,7 +1187,10 @@ class Halo2Prover:
         add(("h",), combined_h, x)
         add(("random",), random_poly, x)
 
-        shplonk_open(kzg, openings, w)
+        if pk.pcs == "gwc":
+            gwc_open(kzg, openings, w)
+        else:
+            shplonk_open(kzg, openings, w)
 
         return Halo2Proof(
             proof=bytes(w.proof),
@@ -961,6 +1210,11 @@ class Halo2Prover:
             lookup_permuted_commitments=lookup_permuted_cms_vec,
             lookup_product_commitments=lookup_z_cms_vec,
             lookup_evals=lookup_evals_out,
+            lookup_m_commitments=(lookup_m_cms_vec if log_derivative
+                                  else []),
+            shuffle_product_commitments=shuffle_z_cms_vec,
+            shuffle_evals=shuffle_evals_out,
+            challenges=challenges,
         )
 
 
@@ -1106,3 +1360,508 @@ def shplonk_open(kzg: HostKZG, openings: list, w) -> None:
     q_poly = _poly_scale(q_poly, pow(first_z_diff, FR - 2, FR))
     q_cm = kzg.commit(q_poly)
     w.write_point(q_cm)
+
+
+def gwc_open(kzg: HostKZG, openings: list, w) -> None:
+    """GWC19 multi-open: v challenge, group by single point (first-seen
+    order), W_i = sum_j v^j (P_j - P_j(x_i)) / (X - x_i), commit each
+    (reference: crypto/commitments/kzg/gwc.h:83-124)."""
+    v = w.squeeze_challenge()
+    point_order = []
+    groups = {}
+    for key, coeffs, pt, vv in openings:
+        if pt not in groups:
+            groups[pt] = []
+            point_order.append(pt)
+        groups[pt].append((coeffs, vv))
+    cms = []
+    for pt in point_order:
+        acc = [0]
+        for j, (coeffs, vv) in enumerate(groups[pt]):
+            num = list(coeffs)
+            if num:
+                num[0] = (num[0] - vv) % FR
+            else:
+                num = [(-vv) % FR]
+            acc = _poly_add(acc, _poly_scale(num, pow(v, j, FR)))
+        acc = _poly_div_linear(acc, pt)
+        cms.append(kzg.commit(acc))
+    for cm in cms:
+        w.write_point(cm)
+
+
+# --- verifier ----------------------------------------------------------------
+
+# standard BN254 G2 generator (x, y) over Fq2 as ((c0, c1), (c0, c1))
+G2_GEN = (
+    (10857046999023057135944570762232829481370756359578518086990519993285655852781,
+     11559732032986387107991004021392285783925812861821192530917403151452391805634),
+    (8495653923123431417604973247489272438418190587263600148770280649306958101930,
+     4082367875863433681332203403145435568316851327593401208105741076214120093531),
+)
+
+
+class Halo2Verifier:
+    """Host-exact halo2 verifier: accepts proofs from this module's prover
+    AND the reference's pinned golden proofs (reference:
+    zk/plonk/halo2/verifier.h, crypto/commitments/kzg/shplonk.h
+    DoVerifyOpeningProof, kzg/gwc.h DoVerifyOpeningProof)."""
+
+    def __init__(self, pk: Halo2ProvingKey, legacy_serialization: bool = True):
+        self.pk = pk
+        self.legacy = legacy_serialization
+        # [tau]_2 for the pairing check, exact host G2 arithmetic
+        from tachyon_tpu.math import pairing_bn254 as pairing
+        from tachyon_tpu.zk.groth16 import r1cs
+
+        self.pairing = pairing
+        self.tau_g2 = r1cs.g2_mul(pairing, G2_GEN, pk.kzg.tau)
+
+    def verify(self, proof: bytes, instance_columns_vec: list) -> bool:
+        try:
+            return self._verify(proof, instance_columns_vec)
+        except Exception:
+            return False
+
+    def _verify(self, proof: bytes, instance_columns_vec: list) -> bool:
+        from tachyon_tpu.crypto.transcript import (
+            TranscriptReader,
+            FieldSpecShim,
+        )
+
+        pk = self.pk
+        cs, n, omega, kzg = pk.cs, pk.n, pk.omega, pk.kzg
+        t_blind = cs.blinding_factors
+        usable = pk.usable_rows
+        log_derivative = cs.lookup_type == "log_derivative"
+        query_instance = pk.pcs == "gwc"
+        num_circuits = len(instance_columns_vec)
+
+        r = TranscriptReader(proof, FieldSpecShim(FR), FieldSpecShim(FQ),
+                             b_coeff=3, legacy=self.legacy)
+        r.common_scalar(pk.transcript_repr)
+        instance_polys_vec = []
+        for insts in instance_columns_vec:
+            polys = []
+            for col in insts:
+                padded = [v % FR for v in col] + [0] * (n - len(col))
+                if query_instance:
+                    r.common_point(kzg.commit_lagrange(padded, omega))
+                else:
+                    for v in col:
+                        r.common_scalar(v % FR)
+                polys.append(host_ifft(padded, omega))
+            instance_polys_vec.append(polys)
+
+        phases = cs.phases()
+        challenges = {}
+        advice_cms_vec = [[None] * cs.num_advice for _ in range(num_circuits)]
+        for phase in phases:
+            for ci in range(num_circuits):
+                for j in range(cs.num_advice):
+                    if cs.advice_column_phases[j] == phase:
+                        advice_cms_vec[ci][j] = r.read_point()
+            for i, ph in enumerate(cs.challenge_phases):
+                if ph == phase:
+                    challenges[i] = r.squeeze_challenge()
+        theta = r.squeeze_challenge()
+
+        lookup_permuted_cms_vec, lookup_m_cms_vec = [], []
+        for ci in range(num_circuits):
+            if log_derivative:
+                lookup_m_cms_vec.append(
+                    [r.read_point() for _ in cs.lookups])
+            else:
+                lookup_permuted_cms_vec.append(
+                    [(r.read_point(), r.read_point()) for _ in cs.lookups])
+        beta = r.squeeze_challenge()
+        gamma = r.squeeze_challenge()
+        chunks = cs.permutation_chunks()
+        perm_z_cms_vec = [
+            [r.read_point() for _ in chunks] for _ in range(num_circuits)
+        ]
+        lookup_z_cms_vec = [
+            [r.read_point() for _ in cs.lookups] for _ in range(num_circuits)
+        ]
+        shuffle_z_cms_vec = [
+            [r.read_point() for _ in cs.shuffles] for _ in range(num_circuits)
+        ]
+        random_cm = r.read_point()
+        y = r.squeeze_challenge()
+        qdeg = cs.required_degree() - 1
+        h_cms = [r.read_point() for _ in range(qdeg)]
+        x = r.squeeze_challenge()
+        x_next = x * omega % FR
+        x_prev = x * pow(omega, n - 1, FR) % FR
+        x_last = x * pow(omega, (-(t_blind + 1)) % n, FR) % FR
+        x_n = pow(x, n, FR)
+
+        instance_evals_vec = []
+        if query_instance:
+            for ci in range(num_circuits):
+                instance_evals_vec.append(
+                    [r.read_scalar() for _ in cs.instance_queries])
+        else:
+            for ci in range(num_circuits):
+                instance_evals_vec.append([
+                    host_eval(instance_polys_vec[ci][cq], 
+                              x * pow(omega, rot % n, FR) % FR)
+                    for cq, rot in cs.instance_queries
+                ])
+        advice_evals_vec = [
+            [r.read_scalar() for _ in cs.advice_queries]
+            for _ in range(num_circuits)
+        ]
+        fixed_evals = [r.read_scalar() for _ in cs.fixed_queries]
+        random_eval = r.read_scalar()
+        sigma_evals = [r.read_scalar() for _ in pk.permutation_polys]
+        perm_evals_vec = []
+        for ci in range(num_circuits):
+            es = []
+            for j in range(len(chunks)):
+                e = {"z_x": r.read_scalar(), "z_wx": r.read_scalar()}
+                if j != len(chunks) - 1:
+                    e["z_lastx"] = r.read_scalar()
+                es.append(e)
+            perm_evals_vec.append(es)
+        lookup_evals_vec = []
+        for ci in range(num_circuits):
+            es = []
+            for _ in cs.lookups:
+                e = {"z_x": r.read_scalar(), "z_wx": r.read_scalar()}
+                if log_derivative:
+                    e["m_x"] = r.read_scalar()
+                else:
+                    e["a_x"] = r.read_scalar()
+                    e["a_prev"] = r.read_scalar()
+                    e["s_x"] = r.read_scalar()
+                es.append(e)
+            lookup_evals_vec.append(es)
+        shuffle_evals_vec = [
+            [{"z_x": r.read_scalar(), "z_wx": r.read_scalar()}
+             for _ in cs.shuffles]
+            for _ in range(num_circuits)
+        ]
+
+        # --- expected h eval: identities at x, y-chained in prover order --
+        l0 = (x_n - 1) * pow(n * (x - 1) % FR, FR - 2, FR) % FR
+
+        def lag(i):
+            wi = pow(omega, i, FR)
+            return wi * (x_n - 1) % FR * pow(
+                n * (x - wi) % FR, FR - 2, FR) % FR
+
+        l_last = lag(usable)
+        l_blind = sum(lag(i) for i in range(usable + 1, n)) % FR
+        l_active = (1 - l_last - l_blind) % FR
+
+        def eval_expr_at_x(e, ci):
+            if isinstance(e, ex.Constant):
+                return e.value % FR
+            if isinstance(e, ex.Challenge):
+                return challenges[e.index]
+            if isinstance(e, ex.Fixed):
+                qi = cs.fixed_queries.index((e.column, e.rotation))
+                return fixed_evals[qi]
+            if isinstance(e, ex.Advice):
+                qi = cs.advice_queries.index((e.column, e.rotation))
+                return advice_evals_vec[ci][qi]
+            if isinstance(e, ex.Instance):
+                qi = cs.instance_queries.index((e.column, e.rotation))
+                return instance_evals_vec[ci][qi]
+            if isinstance(e, ex.Negated):
+                return (-eval_expr_at_x(e.expr, ci)) % FR
+            if isinstance(e, ex.Scaled):
+                return eval_expr_at_x(e.expr, ci) * e.scale % FR
+            if isinstance(e, ex.Sum):
+                return (eval_expr_at_x(e.left, ci)
+                        + eval_expr_at_x(e.right, ci)) % FR
+            if isinstance(e, ex.Product):
+                return eval_expr_at_x(e.left, ci) \
+                    * eval_expr_at_x(e.right, ci) % FR
+            raise TypeError(e)
+
+        delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
+        acc = None
+
+        def chain(v):
+            nonlocal acc
+            acc = v % FR if acc is None else (acc * y + v) % FR
+
+        col_eval_tbl = {"fixed": lambda ci, c: fixed_evals[
+            cs.fixed_queries.index((c, 0))]}
+
+        for ci in range(num_circuits):
+            for g in cs.gates:
+                for poly in g.polys:
+                    chain(eval_expr_at_x(poly, ci))
+            if chunks:
+                pz = perm_evals_vec[ci]
+                chain(l0 * (1 - pz[0]["z_x"]))
+                zl = pz[-1]["z_x"]
+                chain(l_last * (zl * zl - zl))
+                for c in range(1, len(chunks)):
+                    chain(l0 * (pz[c]["z_x"] - pz[c - 1]["z_lastx"]))
+                jcol = 0
+                cur_delta = beta * x % FR
+                for c, chunk in enumerate(chunks):
+                    left, right = pz[c]["z_wx"], pz[c]["z_x"]
+                    for col in chunk:
+                        if col.kind == "fixed":
+                            cv = fixed_evals[
+                                cs.fixed_queries.index((col.index, 0))]
+                        elif col.kind == "advice":
+                            cv = advice_evals_vec[ci][
+                                cs.advice_queries.index((col.index, 0))]
+                        else:
+                            cv = instance_evals_vec[ci][
+                                cs.instance_queries.index((col.index, 0))]
+                        left = left * ((cv + beta * sigma_evals[jcol]
+                                        + gamma) % FR) % FR
+                        right = right * ((cv + cur_delta + gamma) % FR) % FR
+                        cur_delta = cur_delta * delta % FR
+                        jcol += 1
+                    chain((left - right) * l_active)
+            for li, lk in enumerate(cs.lookups):
+                e = lookup_evals_vec[ci][li]
+                if log_derivative:
+                    phis = []
+                    for inputs in lk.inputs_list:
+                        a_comp = 0
+                        for e2 in inputs:
+                            a_comp = (a_comp * theta
+                                      + eval_expr_at_x(e2, ci)) % FR
+                        phis.append((a_comp + beta) % FR)
+                    s_comp = 0
+                    for e2 in lk.table_exprs:
+                        s_comp = (s_comp * theta
+                                  + eval_expr_at_x(e2, ci)) % FR
+                    tau = (s_comp + beta) % FR
+                    prod = 1
+                    for p_v in phis:
+                        prod = prod * p_v % FR
+                    lhs = tau * prod % FR * ((e["z_wx"] - e["z_x"]) % FR) % FR
+                    excl = 0
+                    for i2 in range(len(phis)):
+                        t2 = 1
+                        for j2, p_v in enumerate(phis):
+                            if j2 != i2:
+                                t2 = t2 * p_v % FR
+                        excl = (excl + t2) % FR
+                    rhs = (tau * excl - prod * e["m_x"]) % FR
+                    chain(l0 * e["z_x"])
+                    chain(l_last * e["z_x"])
+                    chain((lhs - rhs) * l_active)
+                else:
+                    a_comp = 0
+                    for e2 in lk.input_exprs:
+                        a_comp = (a_comp * theta
+                                  + eval_expr_at_x(e2, ci)) % FR
+                    s_comp = 0
+                    for e2 in lk.table_exprs:
+                        s_comp = (s_comp * theta
+                                  + eval_expr_at_x(e2, ci)) % FR
+                    a_minus_s = (e["a_x"] - e["s_x"]) % FR
+                    chain(l0 * (1 - e["z_x"]))
+                    chain(l_last * (e["z_x"] * e["z_x"] - e["z_x"]))
+                    chain(l_active * (
+                        e["z_wx"] * ((e["a_x"] + beta) % FR) % FR
+                        * ((e["s_x"] + gamma) % FR)
+                        - e["z_x"] * ((a_comp + beta) % FR) % FR
+                        * ((s_comp + gamma) % FR)))
+                    chain(l0 * a_minus_s)
+                    chain(l_active * a_minus_s
+                          * ((e["a_x"] - e["a_prev"]) % FR))
+            for si, sh in enumerate(cs.shuffles):
+                e = shuffle_evals_vec[ci][si]
+                a_comp = 0
+                for e2 in sh.input_exprs:
+                    a_comp = (a_comp * theta + eval_expr_at_x(e2, ci)) % FR
+                s_comp = 0
+                for e2 in sh.shuffle_exprs:
+                    s_comp = (s_comp * theta + eval_expr_at_x(e2, ci)) % FR
+                chain(l0 * (1 - e["z_x"]))
+                chain(l_last * (e["z_x"] * e["z_x"] - e["z_x"]))
+                chain(l_active * (
+                    e["z_wx"] * ((s_comp + gamma) % FR)
+                    - e["z_x"] * ((a_comp + gamma) % FR)))
+        h_eval = (acc or 0) * pow((x_n - 1) % FR, FR - 2, FR) % FR
+
+        # combined h commitment: sum x^(n i) h_i
+        combined_h_cm = None
+        for cm in reversed(h_cms):
+            if combined_h_cm is not None:
+                combined_h_cm = g1_add(
+                    g1_mul(combined_h_cm, x_n),
+                    cm) if cm is not None else g1_mul(combined_h_cm, x_n)
+            else:
+                combined_h_cm = cm
+
+        # --- verifier openings, same order as the prover; keyed by the
+        # LOGICAL polynomial (grouping is by oracle identity, base/ref.h
+        # SHALLOW pointer equality — value-equal commitments stay distinct)
+        openings = []  # (key, commitment, point, eval)
+
+        def add(key, cm, pt, vv):
+            openings.append((key, cm, pt, vv % FR))
+
+        for ci in range(num_circuits):
+            if query_instance:
+                for qi, (cq, rot) in enumerate(cs.instance_queries):
+                    pt = x * pow(omega, rot % n, FR) % FR
+                    add(("instance", ci, cq),
+                        kzg.commit(instance_polys_vec[ci][cq]), pt,
+                        instance_evals_vec[ci][qi])
+            for qi, (cq, rot) in enumerate(cs.advice_queries):
+                pt = x * pow(omega, rot % n, FR) % FR
+                add(("advice", ci, cq), advice_cms_vec[ci][cq], pt,
+                    advice_evals_vec[ci][qi])
+            pz = perm_evals_vec[ci]
+            for j in range(len(chunks)):
+                add(("perm_z", ci, j), perm_z_cms_vec[ci][j], x,
+                    pz[j]["z_x"])
+                add(("perm_z", ci, j), perm_z_cms_vec[ci][j], x_next,
+                    pz[j]["z_wx"])
+            for j in range(len(chunks) - 2, -1, -1):
+                add(("perm_z", ci, j), perm_z_cms_vec[ci][j], x_last,
+                    pz[j]["z_lastx"])
+            for li in range(len(cs.lookups)):
+                e = lookup_evals_vec[ci][li]
+                if log_derivative:
+                    add(("lookup_z", ci, li), lookup_z_cms_vec[ci][li], x,
+                        e["z_x"])
+                    add(("lookup_z", ci, li), lookup_z_cms_vec[ci][li],
+                        x_next, e["z_wx"])
+                    add(("lookup_m", ci, li), lookup_m_cms_vec[ci][li], x,
+                        e["m_x"])
+                else:
+                    a_cm, s_cm = lookup_permuted_cms_vec[ci][li]
+                    add(("lookup_z", ci, li), lookup_z_cms_vec[ci][li], x,
+                        e["z_x"])
+                    add(("lookup_a", ci, li), a_cm, x, e["a_x"])
+                    add(("lookup_s", ci, li), s_cm, x, e["s_x"])
+                    add(("lookup_a", ci, li), a_cm, x_prev, e["a_prev"])
+                    add(("lookup_z", ci, li), lookup_z_cms_vec[ci][li],
+                        x_next, e["z_wx"])
+            for si in range(len(cs.shuffles)):
+                e = shuffle_evals_vec[ci][si]
+                add(("shuffle_z", ci, si), shuffle_z_cms_vec[ci][si], x,
+                    e["z_x"])
+                add(("shuffle_z", ci, si), shuffle_z_cms_vec[ci][si],
+                    x_next, e["z_wx"])
+        for qi, (cq, rot) in enumerate(cs.fixed_queries):
+            pt = x * pow(omega, rot % n, FR) % FR
+            add(("fixed", cq), pk.fixed_commitments[cq], pt, fixed_evals[qi])
+        for j, cm in enumerate(pk.permutation_commitments):
+            add(("sigma", j), cm, x, sigma_evals[j])
+        add(("h",), combined_h_cm, x, h_eval)
+        add(("random",), random_cm, x, random_eval)
+
+        if pk.pcs == "gwc":
+            return self._gwc_verify(openings, r)
+        return self._shplonk_verify(openings, r)
+
+    # --- PCS verifiers (pairing checks) ------------------------------------
+    def _pairing_ok(self, q_cm, p_cm) -> bool:
+        """e(Q, tau_2) * e(P, -G2) == 1"""
+        pairing = self.pairing
+        neg_g2 = (G2_GEN[0],
+                  tuple((-c) % pairing.P for c in G2_GEN[1]))
+        pairs = []
+        if q_cm is not None:
+            pairs.append((q_cm, self.tau_g2))
+        if p_cm is not None:
+            pairs.append((p_cm, neg_g2))
+        return pairing.pairing_product_is_one(pairs)
+
+    def _shplonk_verify(self, openings, r) -> bool:
+        """reference: shplonk.h:244-350 DoVerifyOpeningProof."""
+        y = r.squeeze_challenge()
+        v = r.squeeze_challenge()
+        h_cm = r.read_point()
+        u = r.squeeze_challenge()
+        q_cm = r.read_point()
+
+        oracle_order, oracle_map = [], {}
+        super_points = set()
+        for key, cm, pt, vv in openings:
+            super_points.add(pt)
+            if key not in oracle_map:
+                oracle_map[key] = {"cm": cm, "points": {}}
+                oracle_order.append(key)
+            oracle_map[key]["points"][pt] = vv
+        set_order, set_map = [], {}
+        for key in oracle_order:
+            pts = tuple(sorted(oracle_map[key]["points"]))
+            if pts not in set_map:
+                set_map[pts] = []
+                set_order.append(pts)
+            set_map[pts].append(key)
+        sorted_super = sorted(super_points)
+
+        first_z, first_z_diff_inv = 0, 0
+        normalized_l = []
+        for gi, pts in enumerate(set_order):
+            group = set_map[pts]
+            diffs = [pt for pt in sorted_super if pt not in pts]
+            z_diff = 1
+            for d in diffs:
+                z_diff = z_diff * (u - d) % FR
+            if gi == 0:
+                first_z = 1
+                for pt in pts:
+                    first_z = first_z * (u - pt) % FR
+                first_z_diff_inv = pow(z_diff, FR - 2, FR)
+                z_diff = 1
+            else:
+                z_diff = z_diff * first_z_diff_inv % FR
+            l_cm = None
+            for key in reversed(group):
+                info = oracle_map[key]
+                r_poly = _lagrange_interpolate(
+                    list(pts), [info["points"][pt] for pt in pts])
+                r_u = host_eval(r_poly, u)
+                term = g1_add(info["cm"],
+                              g1_mul((1, 2), (-r_u) % FR))
+                l_cm = term if l_cm is None else g1_add(
+                    g1_mul(l_cm, y), term)
+            normalized_l.append(g1_mul(l_cm, z_diff)
+                                if l_cm is not None else None)
+        p_cm = None
+        for l_cm in reversed(normalized_l):
+            p_cm = g1_mul(p_cm, v) if p_cm is not None else None
+            p_cm = g1_add(p_cm, l_cm)
+        p_cm = g1_add(p_cm, g1_mul(h_cm, (-first_z) % FR))
+        p_cm = g1_add(p_cm, g1_mul(q_cm, u))
+        return self._pairing_ok(q_cm, p_cm)
+
+    def _gwc_verify(self, openings, r) -> bool:
+        """reference: gwc.h:126-210 DoVerifyOpeningProof: fold per-point
+        W's with u: e(sum u^i W_i, tau_2) == e(sum u^i (z_i W_i + F_i), -G2)
+        with F_i = sum v^j (C_ij - y_ij G)."""
+        v = r.squeeze_challenge()
+        point_order, groups = [], {}
+        for _key, cm, pt, vv in openings:
+            if pt not in groups:
+                groups[pt] = []
+                point_order.append(pt)
+            groups[pt].append((cm, vv))
+        w_cms = [r.read_point() for _ in point_order]
+        u = r.squeeze_challenge()
+        lhs, rhs = None, None
+        for i in range(len(point_order) - 1, -1, -1):
+            pt = point_order[i]
+            f_cm, acc_eval = None, 0
+            for j in range(len(groups[pt]) - 1, -1, -1):
+                cm, vv = groups[pt][j]
+                f_cm = g1_mul(f_cm, v) if f_cm is not None else None
+                f_cm = g1_add(f_cm, cm)
+                acc_eval = (acc_eval * v + vv) % FR
+            term = g1_add(g1_add(g1_mul(w_cms[i], pt),
+                                 f_cm),
+                          g1_mul((1, 2), (-acc_eval) % FR))
+            lhs = g1_mul(lhs, u) if lhs is not None else None
+            lhs = g1_add(lhs, w_cms[i])
+            rhs = g1_mul(rhs, u) if rhs is not None else None
+            rhs = g1_add(rhs, term)
+        return self._pairing_ok(lhs, rhs)

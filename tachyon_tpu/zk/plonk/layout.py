@@ -425,3 +425,13 @@ def _v1_assign_lookup_table(self, name, fn):
 
 
 V1FloorPlanner.assign_lookup_table = _v1_assign_lookup_table
+
+
+def _get_challenge(self, challenge):
+    """phase challenge value during witness synthesis, or None at keygen
+    (reference: layouter.h GetChallenge / witness_collection.h)."""
+    return getattr(self, "challenges", {}).get(challenge.index)
+
+
+SimpleFloorPlanner.get_challenge = _get_challenge
+V1FloorPlanner.get_challenge = _get_challenge

@@ -48,16 +48,24 @@ def _rotation(r: int) -> str:
     return _tuple("Rotation", [str(int(r))])
 
 
-def _column(kind: str, index: int) -> str:
+def _column(kind: str, index: int, cs=None) -> str:
+    type_str = _KIND_NAME[kind]
+    if kind == "advice" and cs is not None:
+        phases = getattr(cs, "advice_column_phases", [])
+        if index < len(phases) and phases[index] != 0:
+            # (reference: column_key_stringifier.h — phased advice prints
+            # Advice { phase: Phase(p) })
+            type_str = _struct(
+                "Advice", [("phase", _tuple("Phase", [str(phases[index])]))])
     return _struct(
         "Column",
-        [("index", str(int(index))), ("column_type", _KIND_NAME[kind])],
+        [("index", str(int(index))), ("column_type", type_str)],
     )
 
 
-def _query(kind: str, index: int, rotation: int) -> str:
+def _query(kind: str, index: int, rotation: int, cs=None) -> str:
     # halo2 queries Debug as the anonymous tuple (Column, Rotation)
-    return _tuple("", [_column(kind, index), _rotation(rotation)])
+    return _tuple("", [_column(kind, index, cs), _rotation(rotation)])
 
 
 def expression_str(e, cs: ConstraintSystem) -> str:
@@ -74,11 +82,17 @@ def expression_str(e, cs: ConstraintSystem) -> str:
         ])
     if isinstance(e, ex.Advice):
         qi = cs.query_index(ColumnRef("advice", e.column), e.rotation)
-        return _struct("Advice", [
+        fields = [
             ("query_index", str(qi)),
             ("column_index", str(e.column)),
             ("rotation", _rotation(e.rotation)),
-        ])
+        ]
+        # non-first-phase columns also pin their phase
+        # (reference: expression_stringifier.h:57-59)
+        phases = getattr(cs, "advice_column_phases", [])
+        if e.column < len(phases) and phases[e.column] != 0:
+            fields.append(("phase", _tuple("Phase", [str(phases[e.column])])))
+        return _struct("Advice", fields)
     if isinstance(e, ex.Instance):
         qi = cs.query_index(ColumnRef("instance", e.column), e.rotation)
         return _struct("Instance", [
@@ -87,7 +101,13 @@ def expression_str(e, cs: ConstraintSystem) -> str:
             ("rotation", _rotation(e.rotation)),
         ])
     if isinstance(e, ex.Challenge):
-        return _tuple("Challenge", [str(e.index)])
+        # Challenge(Challenge { index: i, phase: Phase(p) })
+        # (reference: stringifiers/{expression,challenge,phase}_stringifier.h)
+        inner = _struct("Challenge", [
+            ("index", str(e.index)),
+            ("phase", _tuple("Phase", [str(e.phase)])),
+        ])
+        return _tuple("Challenge", [inner])
     if isinstance(e, ex.Selector):
         # pre-compression pinned string (reference:
         # stringifiers/selector_stringifier.h: Selector(Selector(i, kind)))
@@ -118,12 +138,19 @@ def pinned_constraint_system_str(cs: ConstraintSystem) -> str:
         ("num_instance_columns", str(cs.num_instance)),
         ("num_selectors", str(cs.num_selectors)),
     ]
+    if cs.num_challenges > 0:
+        # (reference: pinned_constraint_system.h:129-135)
+        fields.append(("num_challenges", str(cs.num_challenges)))
+        fields.append(("advice_column_phase", _list(
+            [_tuple("Phase", [str(p)]) for p in cs.advice_column_phases])))
+        fields.append(("challenge_phase", _list(
+            [_tuple("Phase", [str(p)]) for p in cs.challenge_phases])))
     gates = _list([
         expression_str(p, cs) for g in cs.gates for p in g.polys
     ])
     fields.append(("gates", gates))
     fields.append(("advice_queries", _list([
-        _query("advice", c, r) for c, r in cs.advice_queries
+        _query("advice", c, r, cs) for c, r in cs.advice_queries
     ])))
     fields.append(("instance_queries", _list([
         _query("instance", c, r) for c, r in cs.instance_queries
@@ -133,7 +160,7 @@ def pinned_constraint_system_str(cs: ConstraintSystem) -> str:
     ])))
     fields.append(("permutation", _struct("Argument", [(
         "columns",
-        _list([_column(c.kind, c.index) for c in cs.permutation_columns]),
+        _list([_column(c.kind, c.index, cs) for c in cs.permutation_columns]),
     )])))
     if cs.lookup_type == "halo2":
         fields.append(("lookups", _list([
@@ -146,20 +173,24 @@ def pinned_constraint_system_str(cs: ConstraintSystem) -> str:
             for lk in cs.lookups
         ])))
     else:
-        # log-derivative (Scroll) lookups pin as a name->tracker map
-        # (reference: lookup_tracker_stringifier.h)
+        # log-derivative (Scroll) lookups pin as identifier->tracker map in
+        # btree key order (reference: lookup_tracker_stringifier.h +
+        # rust_stringifier.h DebugMap; trackers survive chunking)
         entries = ", ".join(
-            f'"{lk.name}": ' + _struct("LookupTracker", [
+            f'"{key}": ' + _struct("LookupTracker", [
                 ("table", _list(
-                    [expression_str(e, cs) for e in lk.table_exprs])),
-                ("inputs", _list([_list(
-                    [expression_str(e, cs) for e in lk.input_exprs])])),
+                    [expression_str(e, cs)
+                     for e in cs.lookups_map[key].table_exprs])),
+                ("inputs", _list([
+                    _list([expression_str(e, cs) for e in inputs])
+                    for inputs in cs.lookups_map[key].inputs
+                ])),
             ])
-            for lk in cs.lookups
+            for key in sorted(cs.lookups_map)
         )
         fields.append(("lookups_map", "{" + entries + "}"))
     fields.append(("constants", _list([
-        _column(c.kind, c.index) for c in cs.constants
+        _column(c.kind, c.index, cs) for c in cs.constants
     ])))
     md = cs.minimum_degree
     fields.append(

@@ -331,3 +331,298 @@ class Fibonacci3Circuit:
 
     def instance_columns(self):
         return []
+
+
+class MultiLookupCircuit:
+    """standard-plonk chip with three log-derivative lookups, two sharing a
+    table (reference: multi_lookup_circuit.h; halo2's plonk_api shape)."""
+
+    A_DEFAULT = 0x76A69C75ED45F60E667FB401DD42F877B565F7818B1D94188FB67249
+
+    def __init__(self, a=None, planner=SimpleFloorPlanner):
+        self.a = self.A_DEFAULT if a is None else a
+        self.instance = 2
+        self.lookup_table = [2, self.a, self.a, 0]
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @staticmethod
+    def configure(cs):
+        e = cs.advice_column()
+        a = cs.advice_column()
+        b = cs.advice_column()
+        sf = cs.fixed_column()
+        c = cs.advice_column()
+        d = cs.advice_column()
+        p = cs.instance_column()
+        cs.enable_equality(a)
+        cs.enable_equality(b)
+        cs.enable_equality(c)
+        sm = cs.fixed_column()
+        sa = cs.fixed_column()
+        sb = cs.fixed_column()
+        sc = cs.fixed_column()
+        sp = cs.fixed_column()
+        sl = cs.fixed_column()  # CreateLookupTableColumn
+        dummy = cs.create_complex_selector()
+        dummy_2 = cs.create_complex_selector()
+        dummy_3 = cs.create_complex_selector()
+        dummy_table = cs.fixed_column()  # CreateLookupTableColumn
+
+        cs.lookup("lookup", [(cs.query(a, 0), cs.query(sl, 0))])
+        cs.lookup("lookup_same", [(cs.query(a, 0), cs.query(sl, 0))])
+        cs.lookup("lookup_same", [(
+            ex.Product(
+                ex.Product(ex.Product(dummy, dummy_2), dummy_3),
+                cs.query(b, 0)),
+            cs.query(dummy_table, 0))])
+
+        d_n = cs.query(d, 1)
+        a_q = cs.query(a, 0)
+        sf_q = cs.query(sf, 0)
+        e_p = cs.query(e, -1)
+        b_q = cs.query(b, 0)
+        c_q = cs.query(c, 0)
+        sa_q = cs.query(sa, 0)
+        sb_q = cs.query(sb, 0)
+        sc_q = cs.query(sc, 0)
+        sm_q = cs.query(sm, 0)
+        poly = ex.Sum(
+            ex.Sum(
+                ex.Sum(
+                    ex.Sum(ex.Product(a_q, sa_q), ex.Product(b_q, sb_q)),
+                    ex.Product(ex.Product(a_q, b_q), sm_q)),
+                ex.Negated(ex.Product(c_q, sc_q))),
+            ex.Product(sf_q, ex.Product(d_n, e_p)))
+        cs.create_gate("Combined add-mult", [poly])
+        cs.create_gate("Public input", [
+            ex.Product(cs.query(sp, 0),
+                       ex.Sum(cs.query(a, 0), ex.Negated(cs.query(p, 0))))
+        ])
+        cs.enable_equality(sf)
+        cs.enable_equality(e)
+        cs.enable_equality(d)
+        cs.enable_equality(p)
+        cs.enable_equality(sm)
+        cs.enable_equality(sa)
+        cs.enable_equality(sb)
+        cs.enable_equality(sc)
+        cs.enable_equality(sp)
+        return {"a": a, "b": b, "c": c, "d": d, "e": e, "sa": sa, "sb": sb,
+                "sc": sc, "sf": sf, "sm": sm, "sp": sp, "sl": sl}
+
+    def synthesize(self, config, layouter):
+        a_val = self.a % FR
+        a_sq = a_val * a_val % FR
+
+        def public_input(region):
+            region.assign_advice(config["a"], 0, self.instance)
+            region.assign_fixed(config["sp"], 0, 1)
+
+        layouter.assign_region("public_input", public_input)
+
+        for _ in range(10):
+            cells = {}
+
+            def raw_multiply(region):
+                cells["m_lhs"] = region.assign_advice(config["a"], 0, a_val)
+                region.assign_advice(config["d"], 0,
+                                     pow(a_val, 4, FR))
+                cells["m_rhs"] = region.assign_advice(config["b"], 0, a_val)
+                region.assign_advice(config["e"], 0, pow(a_val, 4, FR))
+                cells["m_out"] = region.assign_advice(config["c"], 0, a_sq)
+                region.assign_fixed(config["sa"], 0, 0)
+                region.assign_fixed(config["sb"], 0, 0)
+                region.assign_fixed(config["sc"], 0, 1)
+                region.assign_fixed(config["sm"], 0, 1)
+
+            layouter.assign_region("raw_multiply", raw_multiply)
+
+            fin = (a_sq + a_val) % FR
+
+            def raw_add(region):
+                cells["a_lhs"] = region.assign_advice(config["a"], 0, a_val)
+                region.assign_advice(config["d"], 0, pow(a_val, 4, FR))
+                cells["a_rhs"] = region.assign_advice(config["b"], 0, a_sq)
+                region.assign_advice(config["e"], 0, pow(a_sq, 4, FR))
+                cells["a_out"] = region.assign_advice(config["c"], 0, fin)
+                region.assign_fixed(config["sa"], 0, 1)
+                region.assign_fixed(config["sb"], 0, 1)
+                region.assign_fixed(config["sc"], 0, 1)
+                region.assign_fixed(config["sm"], 0, 0)
+
+            layouter.assign_region("raw_add", raw_add)
+
+            def copy1(region):
+                region.constrain_equal(cells["m_lhs"], cells["a_lhs"])
+                region.constrain_equal(cells["m_lhs"], cells["a_lhs"])
+
+            layouter.assign_region("copy", copy1)
+
+            def copy2(region):
+                region.constrain_equal(cells["a_rhs"], cells["m_out"])
+                region.constrain_equal(cells["a_rhs"], cells["m_out"])
+
+            layouter.assign_region("copy", copy2)
+
+        def load_table(table):
+            for i, v in enumerate(self.lookup_table):
+                table.assign_cell(config["sl"], i, v % FR)
+
+        layouter.assign_lookup_table("", load_table)
+
+    def instance_columns(self):
+        return [[self.instance]]
+
+
+class ShuffleAPICircuit:
+    """two-column shuffle via the shuffle argument API
+    (reference: shuffle_api_circuit.h; log-derivative PS)."""
+
+    def __init__(self, planner=SimpleFloorPlanner):
+        self.input_0 = [1, 2, 4, 1]
+        self.input_1 = [10, 20, 40, 10]
+        self.shuffle_0 = [4, 1, 1, 2]
+        self.shuffle_1 = [40, 10, 10, 20]
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @staticmethod
+    def configure(cs):
+        input_0 = cs.advice_column()
+        input_1 = cs.fixed_column()
+        shuffle_0 = cs.advice_column()
+        shuffle_1 = cs.advice_column()
+        s_shuffle = cs.create_complex_selector()
+        s_input = cs.create_complex_selector()
+        i0 = cs.query(input_0, 0)
+        i1 = cs.query(input_1, 0)
+        s0 = cs.query(shuffle_0, 0)
+        s1 = cs.query(shuffle_1, 0)
+        cs.shuffle("shuffle", [
+            (ex.Product(s_input, i0), ex.Product(s_shuffle, s0)),
+            (ex.Product(s_input, i1), ex.Product(s_shuffle, s1)),
+        ])
+        return {"input_0": input_0, "input_1": input_1,
+                "shuffle_0": shuffle_0, "shuffle_1": shuffle_1,
+                "s_input": s_input, "s_shuffle": s_shuffle}
+
+    def synthesize(self, config, layouter):
+        def load_inputs(region):
+            for i, (v0, v1) in enumerate(zip(self.input_0, self.input_1)):
+                region.assign_advice(config["input_0"], i, v0)
+                region.assign_fixed(config["input_1"], i, v1)
+                region.enable_selector(config["s_input"], i)
+
+        layouter.assign_region("load inputs", load_inputs)
+
+        def load_shuffles(region):
+            for i, (v0, v1) in enumerate(zip(self.shuffle_0, self.shuffle_1)):
+                region.assign_advice(config["shuffle_0"], i, v0)
+                region.assign_advice(config["shuffle_1"], i, v1)
+                region.enable_selector(config["s_shuffle"], i)
+
+        layouter.assign_region("load shuffles", load_shuffles)
+
+    def instance_columns(self):
+        return []
+
+
+class ShuffleCircuit:
+    """W-column H-row shuffle proven manually with phase challenges: theta
+    and gamma are squeezed after first-phase advice, z lives in the second
+    phase (reference: shuffle_circuit.h; kW=2, kH=8)."""
+
+    W, H = 2, 8
+
+    def __init__(self, original=None, shuffled=None,
+                 planner=SimpleFloorPlanner):
+        # keygen uses the witness-free dummy tables (WithoutWitness)
+        zero = [[0] * self.H for _ in range(self.W)]
+        self.original = original if original is not None else zero
+        self.shuffled = shuffled if shuffled is not None else zero
+        self._planner_cls = planner
+
+    def floor_planner(self, cs, n):
+        return self._planner_cls(cs, n)
+
+    @classmethod
+    def configure(cls, cs):
+        q_shuffle = cs.create_simple_selector()
+        q_first = cs.create_simple_selector()
+        q_last = cs.create_simple_selector()
+        original = [cs.advice_column() for _ in range(cls.W)]
+        shuffled = [cs.advice_column() for _ in range(cls.W)]
+        theta = cs.challenge_usable_after(0)
+        gamma = cs.challenge_usable_after(0)
+        z = cs.advice_column(phase=1)
+
+        qf = cs.query_selector(q_first)
+        zq = cs.query(z, 0)
+        cs.create_gate("z should start with 1", [
+            ex.Product(qf, ex.Sum(ex.Constant(1), ex.Negated(zq)))])
+        ql = cs.query_selector(q_last)
+        cs.create_gate("z should end with 1", [
+            ex.Product(ql, ex.Sum(ex.Constant(1), ex.Negated(zq)))])
+
+        qs = cs.query_selector(q_shuffle)
+        orig_q = [cs.query(c, 0) for c in original]
+        shuf_q = [cs.query(c, 0) for c in shuffled]
+        z_w = cs.query(z, 1)
+        orig_acc = orig_q[0]
+        for e in orig_q[1:]:
+            orig_acc = ex.Sum(ex.Product(orig_acc, theta), e)
+        shuf_acc = shuf_q[0]
+        for e in shuf_q[1:]:
+            shuf_acc = ex.Sum(ex.Product(shuf_acc, theta), e)
+        cs.create_gate("z should have valid transition", [
+            ex.Product(qs, ex.Sum(
+                ex.Product(zq, ex.Sum(orig_acc, gamma)),
+                ex.Negated(ex.Product(z_w, ex.Sum(shuf_acc, gamma)))))])
+        return {"q_shuffle": q_shuffle, "q_first": q_first, "q_last": q_last,
+                "original": original, "shuffled": shuffled,
+                "theta": theta, "gamma": gamma, "z": z}
+
+    def synthesize(self, config, layouter):
+        H, W = self.H, self.W
+        theta = layouter.get_challenge(config["theta"])
+        gamma = layouter.get_challenge(config["gamma"])
+
+        def fn(region):
+            region.enable_selector(config["q_first"], 0)
+            region.enable_selector(config["q_last"], H)
+            for i in range(H):
+                region.enable_selector(config["q_shuffle"], i)
+            for i in range(W):
+                for j in range(H):
+                    region.assign_advice(config["original"][i], j,
+                                         self.original[i][j] % FR)
+            for i in range(W):
+                for j in range(H):
+                    region.assign_advice(config["shuffled"][i], j,
+                                         self.shuffled[i][j] % FR)
+            if theta is not None and gamma is not None:
+                z = [1]
+                for i in range(H):
+                    num, den = 0, 0
+                    for col in self.original:
+                        num = (num * theta + col[i]) % FR
+                    for col in self.shuffled:
+                        den = (den * theta + col[i]) % FR
+                    ratio = (num + gamma) * pow(
+                        (den + gamma) % FR, FR - 2, FR) % FR
+                    z.append(z[-1] * ratio % FR)
+                for i in range(H + 1):
+                    region.assign_advice(config["z"], i, z[i])
+            else:
+                for i in range(H + 1):
+                    region.assign_advice(config["z"], i, 0)
+
+        layouter.assign_region("Shuffle original into shuffled", fn)
+
+    def instance_columns(self):
+        return []

