@@ -79,6 +79,35 @@ int tachyon_tpu_bn254_groth16_prove(const char* zkey_path,
                                     int verify, char** proof_json_out,
                                     char** public_json_out);
 
+/* Halo2 (bn254, Scroll vendor) --------------------------------------------
+ * Proves a circuit described as JSON and verifies the result; the proof
+ * bytes come back hex-encoded (caller frees with tachyon_tpu_free_string).
+ * The pipeline is bit-compatible with halo2 (reference:
+ * c/zk/plonk/halo2/bn254_prover.cc tachyon_halo2_bn254_prover_create_proof;
+ * goldens in tests/test_halo2_golden.py).
+ *
+ * circuit_json schema:
+ *   { "k": 4, "pcs": "shplonk"|"gwc", "lookup_type": "halo2"|
+ *     "log_derivative",
+ *     "num_advice": 3, "num_fixed": 1, "num_instance": 1,
+ *     "equality": [["advice",0], ...],  "constants": [["fixed",0]],
+ *     "selectors": ["simple"|"complex", ...],
+ *     "gates": [[<expr>, ...], ...],
+ *     "lookups": [{"inputs": [<expr>...], "tables": [<expr>...]}],
+ *     "shuffles": [{"inputs": [...], "shuffles": [...]}],
+ *     "assignments": {"advice": [[row-major ints]...],
+ *                     "fixed": [[...]...],
+ *                     "selectors": [[0/1...]...],
+ *                     "copies": [[["advice",0,row],["instance",0,row]]...]},
+ *     "instances": [[...], ...] }
+ *   <expr> = ["const", v] | ["fixed", col, rot] | ["advice", col, rot]
+ *          | ["instance", col, rot] | ["challenge", idx, phase]
+ *          | ["selector", idx] | ["neg", e] | ["sum", a, b]
+ *          | ["prod", a, b] | ["scaled", e, v]
+ */
+int tachyon_tpu_halo2_bn254_prove(const char* circuit_json,
+                                  char** proof_hex_out);
+
 #if defined(__cplusplus)
 }
 #endif

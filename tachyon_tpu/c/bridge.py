@@ -119,3 +119,114 @@ def groth16_prove(zkey_path: str, wtns_path: str, no_zk: int,
     })
     public_json = json.dumps([str(v) for v in pub])
     return proof_json, public_json
+
+
+def halo2_prove(circuit_json: str) -> str:
+    """JSON-described circuit -> halo2 bit-compatible proof (hex).
+
+    Host-exact pipeline (tachyon_tpu/zk/plonk/halo2.py); proves then
+    verifies before returning (reference: c/zk/plonk/halo2/bn254_prover.cc
+    create-proof entry)."""
+    import json as _json
+
+    from tachyon_tpu.zk.plonk import expressions as ex
+    from tachyon_tpu.zk.plonk import halo2
+    from tachyon_tpu.zk.plonk.constraint_system import ColumnRef
+    from tachyon_tpu.zk.plonk.layout import SimpleFloorPlanner
+
+    spec = _json.loads(circuit_json)
+
+    def build_expr(e, cols, sels):
+        tag = e[0]
+        if tag == "const":
+            return ex.Constant(int(e[1]))
+        if tag in ("fixed", "advice", "instance"):
+            return {"fixed": ex.Fixed, "advice": ex.Advice,
+                    "instance": ex.Instance}[tag](int(e[1]), int(e[2]))
+        if tag == "challenge":
+            return ex.Challenge(int(e[1]), int(e[2]))
+        if tag == "selector":
+            return sels[int(e[1])]
+        if tag == "neg":
+            return ex.Negated(build_expr(e[1], cols, sels))
+        if tag == "sum":
+            return ex.Sum(build_expr(e[1], cols, sels),
+                          build_expr(e[2], cols, sels))
+        if tag == "prod":
+            return ex.Product(build_expr(e[1], cols, sels),
+                              build_expr(e[2], cols, sels))
+        if tag == "scaled":
+            return ex.Scaled(build_expr(e[1], cols, sels), int(e[2]))
+        raise ValueError(tag)
+
+    class JsonCircuit:
+        def floor_planner(self, cs, n):
+            return SimpleFloorPlanner(cs, n)
+
+        @staticmethod
+        def configure(cs):
+            cols = {
+                "advice": [cs.advice_column() for _ in
+                           range(spec.get("num_advice", 0))],
+                "fixed": [cs.fixed_column() for _ in
+                          range(spec.get("num_fixed", 0))],
+                "instance": [cs.instance_column() for _ in
+                             range(spec.get("num_instance", 0))],
+            }
+            sels = [
+                cs.create_simple_selector() if kind == "simple"
+                else cs.create_complex_selector()
+                for kind in spec.get("selectors", [])
+            ]
+            for kind, idx in spec.get("equality", []):
+                cs.enable_equality(ColumnRef(kind, idx))
+            for kind, idx in spec.get("constants", []):
+                cs.enable_constant(ColumnRef(kind, idx))
+            for gi, polys in enumerate(spec.get("gates", [])):
+                cs.create_gate(
+                    f"gate{gi}", [build_expr(p, cols, sels) for p in polys])
+            for lk in spec.get("lookups", []):
+                pairs = [
+                    (build_expr(i, cols, sels), build_expr(t, cols, sels))
+                    for i, t in zip(lk["inputs"], lk["tables"])
+                ]
+                cs.lookup(lk.get("name", "lookup"), pairs)
+            for sh in spec.get("shuffles", []):
+                pairs = [
+                    (build_expr(i, cols, sels), build_expr(t, cols, sels))
+                    for i, t in zip(sh["inputs"], sh["shuffles"])
+                ]
+                cs.shuffle(sh.get("name", "shuffle"), pairs)
+            cs.collect_queries()
+            return {"cols": cols, "sels": sels}
+
+        def synthesize(self, config, layouter):
+            asg = spec.get("assignments", {})
+            a = layouter.assignment
+            for j, col in enumerate(asg.get("advice", [])):
+                for r, v in enumerate(col):
+                    a.advice[j][r] = int(v) % halo2.FR
+            for j, col in enumerate(asg.get("fixed", [])):
+                for r, v in enumerate(col):
+                    a.fixed[j][r] = int(v) % halo2.FR
+            for j, col in enumerate(asg.get("selectors", [])):
+                for r, v in enumerate(col):
+                    if v:
+                        a.selectors[j][r] = True
+            for (ka, ia, ra), (kb, ib, rb) in asg.get("copies", []):
+                layouter.cs.copy((ColumnRef(ka, ia), ra),
+                                 (ColumnRef(kb, ib), rb))
+
+        def instance_columns(self):
+            return spec.get("instances", [])
+
+    circ = JsonCircuit()
+    pk = halo2.keygen(circ, k=int(spec["k"]),
+                      lookup_type=spec.get("lookup_type", "halo2"),
+                      pcs=spec.get("pcs", "shplonk"))
+    prover = halo2.Halo2Prover(pk, legacy_serialization=False)
+    proof = prover.create_proof([circ], [circ.instance_columns()])
+    ver = halo2.Halo2Verifier(pk, legacy_serialization=False)
+    assert ver.verify(proof.proof, [circ.instance_columns()]), \
+        "halo2 self-verification failed"
+    return proof.proof.hex()

@@ -191,6 +191,24 @@ int tachyon_tpu_bn254_poseidon2_hash(const uint8_t* inputs, size_t n,
   return rc;
 }
 
+int tachyon_tpu_halo2_bn254_prove(const char* circuit_json,
+                                  char** proof_hex_out) {
+  if (require_init()) return -1;
+  GILGuard gil;
+  PyObject* args = Py_BuildValue("(s)", circuit_json);
+  PyObject* ret = call_bridge("halo2_prove", args);
+  if (!ret) return -2;
+  const char* hex = PyUnicode_AsUTF8(ret);
+  if (!hex) {
+    set_error_from_python();
+    Py_DECREF(ret);
+    return -3;
+  }
+  if (proof_hex_out) *proof_hex_out = strdup(hex);
+  Py_DECREF(ret);
+  return 0;
+}
+
 int tachyon_tpu_bn254_groth16_prove(const char* zkey_path,
                                     const char* wtns_path, int no_zk,
                                     int verify, char** proof_json_out,

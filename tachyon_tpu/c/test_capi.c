@@ -77,6 +77,30 @@ int main(void) {
     return 1;
   }
 
+  /* Halo2 prove over a JSON mul circuit (self-verified inside). */
+  const char* circuit =
+      "{\"k\": 4, \"num_advice\": 2, \"num_fixed\": 0, "
+      "\"num_instance\": 1, "
+      "\"equality\": [[\"advice\", 0], [\"instance\", 0]], "
+      "\"selectors\": [\"simple\"], "
+      "\"gates\": [[[\"prod\", [\"selector\", 0], "
+      "[\"sum\", [\"prod\", [\"advice\", 0, 0], [\"advice\", 1, 0]], "
+      "[\"neg\", [\"advice\", 0, 1]]]]]], "
+      "\"assignments\": {\"advice\": [[3, 12, 0], [4, 0, 0]], "
+      "\"selectors\": [[1]], "
+      "\"copies\": [[[\"advice\", 0, 1], [\"instance\", 0, 0]]]}, "
+      "\"instances\": [[12]]}";
+  char* proof_hex = NULL;
+  if (tachyon_tpu_halo2_bn254_prove(circuit, &proof_hex) != 0) {
+    fprintf(stderr, "halo2 prove failed: %s\n", tachyon_tpu_last_error());
+    return 1;
+  }
+  if (!proof_hex || strlen(proof_hex) < 128) {
+    fprintf(stderr, "halo2 proof too short\n");
+    return 1;
+  }
+  tachyon_tpu_free_string(proof_hex);
+
   printf("OK\n");
   return 0;
 }
