@@ -13,6 +13,9 @@ import time
 import numpy as np
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+# one-core XLA:CPU compiles of the 2^16 MSM graph take tens of minutes;
+# the cpu fallback shrinks the instance so the driver still gets a number
+CPU_LOG_N = int(os.environ.get("BENCH_CPU_LOG_N", "12"))
 # reference i9-13900K seconds (BASELINE.md "BN254 G1 MSM uniform")
 BASELINES = {16: 0.037107, 18: 0.10235, 20: 0.352276, 22: 1.22393}
 
@@ -37,6 +40,7 @@ def _tpu_available(timeout_s: int = 180) -> bool:
 def main():
     import jax
 
+    global LOG_N
     if _tpu_available():
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     else:
@@ -45,6 +49,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache_cpu")
+        LOG_N = min(LOG_N, CPU_LOG_N)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp

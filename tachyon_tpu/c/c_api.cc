@@ -9,6 +9,7 @@
 // serialize, matching the single-accelerator execution model).
 //
 // Build: make -C tachyon_tpu/c
+#define PY_SSIZE_T_CLEAN  // y#/s# take Py_ssize_t lengths
 #include <Python.h>
 
 #include <cstdint>
@@ -86,7 +87,10 @@ int tachyon_tpu_init(const char* platform) {
   std::lock_guard<std::mutex> lk(g_mu);
   if (g_inited) return 0;
   if (platform && *platform) {
-    setenv("JAX_PLATFORMS", platform, /*overwrite=*/0);
+    // Must overwrite: the ambient JAX_PLATFORMS (e.g. a PJRT plugin name
+    // registered by the host interpreter's sitecustomize) may not be
+    // registerable inside an embedded interpreter.
+    setenv("JAX_PLATFORMS", platform, /*overwrite=*/1);
   }
   if (!Py_IsInitialized()) {
     Py_InitializeEx(/*install_sigint_handler=*/0);

@@ -18,7 +18,7 @@ static void put_le(unsigned char* out, unsigned long v) {
 }
 
 int main(void) {
-  if (tachyon_tpu_init(NULL) != 0) {
+  if (tachyon_tpu_init("cpu") != 0) {
     fprintf(stderr, "init failed: %s\n", tachyon_tpu_last_error());
     return 1;
   }
