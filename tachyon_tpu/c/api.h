@@ -108,6 +108,17 @@ int tachyon_tpu_bn254_groth16_prove(const char* zkey_path,
 int tachyon_tpu_halo2_bn254_prove(const char* circuit_json,
                                   char** proof_hex_out);
 
+/* SP1 / AIR (BabyBear Poseidon2 TwoAdicFRI) -------------------------------
+ * Commits the given matrices (coset LDE batch + field-merkle-tree MMCS),
+ * opens them at a challenger-bound point and verifies the FRI proof.
+ * matrices: u32 LE stream: num_matrices, then per matrix
+ * (rows, cols, rows*cols row-major BabyBear values).  out32 receives the
+ * tallest tree's Poseidon2 commitment (8 u32 LE).
+ * (reference: c/zk/air/sp1/baby_bear_poseidon2_two_adic_fri.cc) */
+int tachyon_tpu_sp1_baby_bear_fri_prove_verify(
+    uint32_t log_blowup, uint32_t num_queries, uint32_t pow_bits,
+    const uint8_t* matrices, size_t matrices_len, uint8_t* out32);
+
 #if defined(__cplusplus)
 }
 #endif

@@ -230,3 +230,56 @@ def halo2_prove(circuit_json: str) -> str:
     assert ver.verify(proof.proof, [circ.instance_columns()]), \
         "halo2 self-verification failed"
     return proof.proof.hex()
+
+
+def sp1_baby_bear_fri_prove_verify(
+    log_blowup: int, num_queries: int, pow_bits: int, matrices_blob: bytes,
+) -> bytes:
+    """BabyBear Poseidon2 TwoAdicFRI commit -> open -> verify roundtrip
+    (reference: c/zk/air/sp1/baby_bear_poseidon2_two_adic_fri.cc
+    commit/open flow used by the SP1 vendor).
+
+    matrices_blob: u32 LE stream: num_matrices, then per matrix
+    (rows, cols, rows*cols row-major BabyBear values).
+    Returns the 8-element Poseidon2 commitment of the tallest tree as
+    32 bytes (u32 LE each); raises on verification failure.
+    """
+    import struct
+
+    import numpy as np
+
+    from tachyon_tpu.crypto import poseidon2
+    from tachyon_tpu.crypto.challenger import DuplexChallenger
+    from tachyon_tpu.crypto.fri import FRIConfig, TwoAdicFRIPCS
+    from tachyon_tpu.fields import presets, extensions
+    from tachyon_tpu.math.field import PrimeField
+
+    F = PrimeField(presets.BABY_BEAR)
+    pcs = TwoAdicFRIPCS(
+        F, extensions.baby_bear4(), poseidon2.baby_bear_p3_w16(),
+        FRIConfig(log_blowup=log_blowup, num_queries=num_queries,
+                  proof_of_work_bits=pow_bits),
+    )
+    vals = np.frombuffer(matrices_blob, dtype="<u4")
+    off = 0
+    num = int(vals[off]); off += 1
+    mats = []
+    for _ in range(num):
+        rows, cols = int(vals[off]), int(vals[off + 1])
+        off += 2
+        m = vals[off:off + rows * cols].reshape(rows, cols)
+        off += rows * cols
+        mats.append(F.encode(np.array(m, dtype=object)))
+    data = pcs.commit(mats)
+    z = [5, 6, 7, 8]  # fixed sample point; the challenger binds the roots
+
+    def challenger():
+        return DuplexChallenger(poseidon2.baby_bear_p3_w16(), rate=4)
+
+    proof = pcs.open(data, z, challenger())
+    dims = [(lde.shape[1], lde.shape[2]) for lde in data.ldes]
+    assert pcs.verify(data.roots(), dims, z, proof, challenger()), \
+        "FRI verification failed"
+    root = np.asarray(data.trees[0].root())
+    ints = [int(F.decode(root[:, i])) for i in range(root.shape[1])]
+    return struct.pack("<8I", *ints)

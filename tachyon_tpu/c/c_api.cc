@@ -213,6 +213,21 @@ int tachyon_tpu_halo2_bn254_prove(const char* circuit_json,
   return 0;
 }
 
+int tachyon_tpu_sp1_baby_bear_fri_prove_verify(
+    uint32_t log_blowup, uint32_t num_queries, uint32_t pow_bits,
+    const uint8_t* matrices, size_t matrices_len, uint8_t* out32) {
+  if (require_init()) return -1;
+  GILGuard gil;
+  PyObject* args = Py_BuildValue(
+      "(IIIy#)", log_blowup, num_queries, pow_bits,
+      reinterpret_cast<const char*>(matrices), (Py_ssize_t)matrices_len);
+  PyObject* ret = call_bridge("sp1_baby_bear_fri_prove_verify", args);
+  if (!ret) return -2;
+  int rc = bytes_out(ret, out32, 32);
+  Py_DECREF(ret);
+  return rc;
+}
+
 int tachyon_tpu_bn254_groth16_prove(const char* zkey_path,
                                     const char* wtns_path, int no_zk,
                                     int verify, char** proof_json_out,

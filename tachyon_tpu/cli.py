@@ -95,6 +95,19 @@ def cmd_prove(args) -> int:
     return 0
 
 
+def cmd_prove_halo2(args) -> int:
+    """halo2 bit-compatible prove over a JSON circuit (host-exact path;
+    self-verifies before writing)."""
+    from tachyon_tpu.c.bridge import halo2_prove
+
+    with open(args.circuit) as f:
+        hexproof = halo2_prove(f.read())
+    with open(args.proof, "w") as f:
+        f.write(hexproof + "\n")
+    print(f"proof: {args.proof} ({len(hexproof) // 2} bytes, verified)")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="tachyon_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -116,6 +129,16 @@ def main(argv=None) -> int:
                     help="write a jax profiler trace to this directory")
     pp.add_argument("--jax-cache", default="/root/repo/.jax_cache")
     pp.set_defaults(fn=cmd_prove)
+
+    hp = sub.add_parser(
+        "prove-halo2",
+        help="create a halo2 bit-compatible proof from a JSON circuit "
+             "description (schema: tachyon_tpu/c/api.h "
+             "tachyon_tpu_halo2_bn254_prove)")
+    hp.add_argument("circuit", help="path to the circuit JSON")
+    hp.add_argument("--proof", default="halo2_proof.hex",
+                    help="output file for the hex-encoded proof bytes")
+    hp.set_defaults(fn=cmd_prove_halo2)
 
     args = ap.parse_args(argv)
     return args.fn(args)
