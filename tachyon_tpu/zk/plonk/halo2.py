@@ -1865,3 +1865,193 @@ class Halo2Verifier:
             rhs = g1_mul(rhs, u) if rhs is not None else None
             rhs = g1_add(rhs, term)
         return self._pairing_ok(lhs, rhs)
+
+
+# --- key serialization (reference: base/buffer/copyable.h — every key is
+# buffer-serializable; JSON here, ints are exact) ---------------------------
+
+
+def _expr_to_json(e):
+    if isinstance(e, ex.Constant):
+        return ["const", e.value]
+    if isinstance(e, ex.Fixed):
+        return ["fixed", e.column, e.rotation]
+    if isinstance(e, ex.Advice):
+        return ["advice", e.column, e.rotation]
+    if isinstance(e, ex.Instance):
+        return ["instance", e.column, e.rotation]
+    if isinstance(e, ex.Challenge):
+        return ["challenge", e.index, e.phase]
+    if isinstance(e, ex.Selector):
+        return ["selector", e.index, e.is_simple]
+    if isinstance(e, ex.Negated):
+        return ["neg", _expr_to_json(e.expr)]
+    if isinstance(e, ex.Sum):
+        return ["sum", _expr_to_json(e.left), _expr_to_json(e.right)]
+    if isinstance(e, ex.Product):
+        return ["prod", _expr_to_json(e.left), _expr_to_json(e.right)]
+    if isinstance(e, ex.Scaled):
+        return ["scaled", _expr_to_json(e.expr), e.scale]
+    raise TypeError(e)
+
+
+def _expr_from_json(j):
+    tag = j[0]
+    if tag == "const":
+        return ex.Constant(j[1])
+    if tag == "fixed":
+        return ex.Fixed(j[1], j[2])
+    if tag == "advice":
+        return ex.Advice(j[1], j[2])
+    if tag == "instance":
+        return ex.Instance(j[1], j[2])
+    if tag == "challenge":
+        return ex.Challenge(j[1], j[2])
+    if tag == "selector":
+        return ex.Selector(j[1], j[2])
+    if tag == "neg":
+        return ex.Negated(_expr_from_json(j[1]))
+    if tag == "sum":
+        return ex.Sum(_expr_from_json(j[1]), _expr_from_json(j[2]))
+    if tag == "prod":
+        return ex.Product(_expr_from_json(j[1]), _expr_from_json(j[2]))
+    if tag == "scaled":
+        return ex.Scaled(_expr_from_json(j[1]), j[2])
+    raise ValueError(tag)
+
+
+def save_proving_key(pk: Halo2ProvingKey, path: str) -> None:
+    """JSON-serialize everything needed to prove and verify (the SRS is
+    regenerated from tau; commitments/polys are exact ints)."""
+    import json
+
+    from tachyon_tpu.zk.plonk.constraint_system import (
+        LookupArgument,
+        ShuffleArgument,
+        Gate,
+    )
+
+    cs = pk.cs
+    doc = {
+        "k": pk.k, "extended_k": pk.extended_k, "omega": pk.omega,
+        "tau": pk.kzg.tau, "vendor": pk.vendor, "pcs": pk.pcs,
+        "usable_rows": pk.usable_rows,
+        "cs": {
+            "num_fixed": cs.num_fixed, "num_advice": cs.num_advice,
+            "num_instance": cs.num_instance,
+            "num_selectors": cs.num_selectors,
+            "lookup_type": cs.lookup_type,
+            "blinding_factors": cs.blinding_factors,
+            "minimum_degree": cs.minimum_degree,
+            "advice_column_phases": cs.advice_column_phases,
+            "challenge_phases": cs.challenge_phases,
+            "constants": [list(c) for c in cs.constants],
+            "selectors": cs.selectors,
+            "selector_map": [list(c) if c else None
+                             for c in cs.selector_map],
+            "permutation_columns": [list(c) for c in
+                                    cs.permutation_columns],
+            "advice_queries": cs.advice_queries,
+            "fixed_queries": cs.fixed_queries,
+            "instance_queries": cs.instance_queries,
+            "gates": [[_expr_to_json(p) for p in g.polys]
+                      for g in cs.gates],
+            "lookups": [{
+                "name": lk.name,
+                "inputs_list": [[_expr_to_json(e) for e in inputs]
+                                for inputs in lk.inputs_list],
+                "tables": [_expr_to_json(e) for e in lk.table_exprs],
+            } for lk in cs.lookups],
+            "shuffles": [{
+                "name": sh.name,
+                "inputs": [_expr_to_json(e) for e in sh.input_exprs],
+                "shuffles": [_expr_to_json(e) for e in sh.shuffle_exprs],
+            } for sh in cs.shuffles],
+        },
+        "fixed_columns": pk.fixed_columns,
+        "permutations": pk.permutations,
+        "l_first": pk.l_first, "l_last": pk.l_last,
+        "l_active_row": pk.l_active_row,
+        "fixed_commitments": [list(c) if c else None
+                              for c in pk.fixed_commitments],
+        "permutation_commitments": [list(c) if c else None
+                                    for c in pk.permutation_commitments],
+        "deltas": pk.deltas,
+        "pinned_vk": pk.pinned_vk,
+        "transcript_repr": pk.transcript_repr,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def load_proving_key(path: str) -> Halo2ProvingKey:
+    import json
+
+    from tachyon_tpu.zk.plonk.constraint_system import (
+        LookupArgument,
+        ShuffleArgument,
+        Gate,
+    )
+
+    with open(path) as f:
+        doc = json.load(f)
+    c = doc["cs"]
+    cs = ConstraintSystem()
+    cs.num_fixed = c["num_fixed"]
+    cs.num_advice = c["num_advice"]
+    cs.num_instance = c["num_instance"]
+    cs.num_selectors = c["num_selectors"]
+    cs.lookup_type = c["lookup_type"]
+    cs.blinding_factors = c["blinding_factors"]
+    cs.minimum_degree = c["minimum_degree"]
+    cs.advice_column_phases = c["advice_column_phases"]
+    cs.challenge_phases = c["challenge_phases"]
+    cs.constants = [ColumnRef(*x) for x in c["constants"]]
+    cs.selectors = c["selectors"]
+    cs.selector_map = [ColumnRef(*x) if x else None
+                       for x in c["selector_map"]]
+    cs.permutation_columns = [ColumnRef(*x) for x in
+                              c["permutation_columns"]]
+    cs.advice_queries = [tuple(q) for q in c["advice_queries"]]
+    cs.fixed_queries = [tuple(q) for q in c["fixed_queries"]]
+    cs.instance_queries = [tuple(q) for q in c["instance_queries"]]
+    cs.gates = [Gate(f"gate{i}", [_expr_from_json(p) for p in polys])
+                for i, polys in enumerate(c["gates"])]
+    cs.lookups = [
+        LookupArgument(
+            lk["name"],
+            [_expr_from_json(e) for e in lk["inputs_list"][0]],
+            [_expr_from_json(e) for e in lk["tables"]],
+            inputs_list=[[_expr_from_json(e) for e in inputs]
+                         for inputs in lk["inputs_list"]],
+        )
+        for lk in c["lookups"]
+    ]
+    cs.shuffles = [
+        ShuffleArgument(sh["name"],
+                        [_expr_from_json(e) for e in sh["inputs"]],
+                        [_expr_from_json(e) for e in sh["shuffles"]])
+        for sh in c["shuffles"]
+    ]
+    n = 1 << doc["k"]
+    return Halo2ProvingKey(
+        cs=cs, k=doc["k"], n=n, extended_k=doc["extended_k"],
+        omega=doc["omega"], kzg=HostKZG(n, doc["tau"]),
+        assembly_fixed=[], selectors=[], cycle_store=None,
+        usable_rows=doc["usable_rows"],
+        fixed_columns=doc["fixed_columns"],
+        fixed_polys=[host_ifft(col, doc["omega"])
+                     for col in doc["fixed_columns"]],
+        permutations=doc["permutations"],
+        permutation_polys=[host_ifft(col, doc["omega"])
+                           for col in doc["permutations"]],
+        l_first=doc["l_first"], l_last=doc["l_last"],
+        l_active_row=doc["l_active_row"],
+        fixed_commitments=[tuple(x) if x else None
+                           for x in doc["fixed_commitments"]],
+        permutation_commitments=[tuple(x) if x else None
+                                 for x in doc["permutation_commitments"]],
+        deltas=doc["deltas"], pinned_vk=doc["pinned_vk"],
+        transcript_repr=doc["transcript_repr"],
+        vendor=doc["vendor"], pcs=doc["pcs"],
+    )

@@ -382,3 +382,18 @@ def test_verify_reference_proof(case):
     bad = bytearray(want)
     bad[len(bad) // 2] ^= 1
     assert not ver.verify(bytes(bad), insts)
+
+
+def test_proving_key_serialization_roundtrip(tmp_path):
+    """save/load the key (Copyable analog) and reprove: proof bytes must
+    still match the reference golden (reference: base/buffer/copyable.h
+    key serialization role)."""
+    golden = hg.load("simple_circuit", "IsSimpleFloorPlanner")
+    pk = halo2.keygen(SimpleCircuit(), k=4)
+    path = tmp_path / "pk.json"
+    halo2.save_proving_key(pk, str(path))
+    pk2 = halo2.load_proving_key(str(path))
+    circuits = [SimpleCircuit(), SimpleCircuit()]
+    insts = [c.instance_columns() for c in circuits]
+    proof = halo2.Halo2Prover(pk2).create_proof(circuits, insts)
+    assert proof.proof == golden.proof_bytes()
