@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 from tachyon_tpu.crypto import rng as rng_mod
 from tachyon_tpu.zk.plonk import expressions as ex
 from tachyon_tpu.zk.plonk.constraint_system import (
@@ -399,6 +397,32 @@ def _coset_evals(coeffs: list, shift: int, omega: int, n: int) -> list:
     return host_fft(scaled, omega)
 
 
+
+
+class HostBackend:
+    """Exact-int primitive backend for the prover (the oracle).
+
+    The device backend (halo2_device.DeviceBackend) implements the same
+    surface with JAX kernels — MSM commitments, NTTs and coset evals are
+    the prover's asymptotic hot path; everything else is exact host logic
+    either way."""
+
+    def __init__(self, pk: "Halo2ProvingKey"):
+        self.pk = pk
+
+    def commit_lagrange(self, evals):
+        return self.pk.kzg.commit_lagrange(evals, self.pk.omega)
+
+    def commit(self, coeffs):
+        return self.pk.kzg.commit(coeffs)
+
+    def ifft(self, evals):
+        return host_ifft(evals, self.pk.omega)
+
+    def coset_evals(self, coeffs, shift):
+        return _coset_evals(coeffs, shift, self.pk.omega, self.pk.n)
+
+
 @dataclasses.dataclass
 class Halo2Proof:
     proof: bytes
@@ -435,7 +459,8 @@ class Halo2Prover:
 
     def __init__(self, pk: Halo2ProvingKey,
                  rng: RandomFieldGenerator | None = None,
-                 legacy_serialization: bool = True):
+                 legacy_serialization: bool = True,
+                 backend=None):
         """legacy_serialization: point flag at bit 7 (y-odd) vs the new
         form (bit 7 = infinity, bit 6 = y-odd); the reference defaults to
         legacy and the C API / Rust vendors use the new form
@@ -444,6 +469,7 @@ class Halo2Prover:
         self.pk = pk
         self.rng = rng or RandomFieldGenerator()
         self.legacy_serialization = legacy_serialization
+        self.be = backend or HostBackend(pk)
 
     def create_proof(self, circuits: list, instance_columns_vec: list
                      ) -> Halo2Proof:
@@ -475,12 +501,12 @@ class Halo2Prover:
             for col in insts:
                 padded = [v % FR for v in col] + [0] * (n - len(col))
                 if query_instance:
-                    w.common_point(kzg.commit_lagrange(padded, omega))
+                    w.common_point(self.be.commit_lagrange(padded))
                 else:
                     for v in col:
                         w.common_scalar(v % FR)
                 evals.append(padded)
-                polys.append(host_ifft(padded, omega))
+                polys.append(self.be.ifft(padded))
             instance_polys_vec.append(polys)
             instance_evals_vec.append(evals)
 
@@ -514,7 +540,7 @@ class Halo2Prover:
                         continue
                     vals = [int(v) % FR for v in col]
                     vals[n - 1] = 1
-                    cm = kzg.commit_lagrange(vals, omega)
+                    cm = self.be.commit_lagrange(vals)
                     w.write_point(cm)
                     rng.generate()  # the (KZG-unused) Blind scalar draw
                     advice_evals_vec[ci][j] = vals
@@ -605,7 +631,7 @@ class Halo2Prover:
             for ci in range(num_circuits):
                 cms = []
                 for m in lookup_m_vec[ci]:
-                    cm = kzg.commit_lagrange(m, omega)
+                    cm = self.be.commit_lagrange(m)
                     w.write_point(cm)
                     cms.append(cm)
                 lookup_m_cms_vec.append(cms)
@@ -651,10 +677,10 @@ class Halo2Prover:
             for ci in range(num_circuits):
                 cms = []
                 for a_p, s_p in lookup_permuted_vec[ci]:
-                    cma = kzg.commit_lagrange(a_p, omega)
+                    cma = self.be.commit_lagrange(a_p)
                     w.write_point(cma)
                     cms_pair = [cma]
-                    cmb = kzg.commit_lagrange(s_p, omega)
+                    cmb = self.be.commit_lagrange(s_p)
                     w.write_point(cmb)
                     cms_pair.append(cmb)
                     cms.append(tuple(cms_pair))
@@ -768,7 +794,7 @@ class Halo2Prover:
         for ci in range(num_circuits):
             cms = []
             for z in perm_z_vec[ci]:
-                cm = kzg.commit_lagrange(z, omega)
+                cm = self.be.commit_lagrange(z)
                 w.write_point(cm)
                 cms.append(cm)
             perm_z_cms_vec.append(cms)
@@ -776,7 +802,7 @@ class Halo2Prover:
         for ci in range(num_circuits):
             cms = []
             for z in lookup_z_vec[ci]:
-                cm = kzg.commit_lagrange(z, omega)
+                cm = self.be.commit_lagrange(z)
                 w.write_point(cm)
                 cms.append(cm)
             lookup_z_cms_vec.append(cms)
@@ -784,35 +810,35 @@ class Halo2Prover:
         for ci in range(num_circuits):
             cms = []
             for z in shuffle_z_vec[ci]:
-                cm = kzg.commit_lagrange(z, omega)
+                cm = self.be.commit_lagrange(z)
                 w.write_point(cm)
                 cms.append(cm)
             shuffle_z_cms_vec.append(cms)
-        random_cm = kzg.commit(random_poly)
+        random_cm = self.be.commit(random_poly)
         w.write_point(random_cm)
 
         y = w.squeeze_challenge()
 
         # to coefficient form
         advice_polys_vec = [
-            [host_ifft(c, omega) for c in cols] for cols in advice_evals_vec
+            [self.be.ifft(c) for c in cols] for cols in advice_evals_vec
         ]
         perm_zp_vec = [
-            [host_ifft(z, omega) for z in zs] for zs in perm_z_vec
+            [self.be.ifft(z) for z in zs] for zs in perm_z_vec
         ]
         lookup_zp_vec = [
-            [host_ifft(z, omega) for z in zs] for zs in lookup_z_vec
+            [self.be.ifft(z) for z in zs] for zs in lookup_z_vec
         ]
         lookup_permuted_polys_vec = [
-            [(host_ifft(a_p, omega), host_ifft(s_p, omega))
+            [(self.be.ifft(a_p), self.be.ifft(s_p))
              for a_p, s_p in pairs]
             for pairs in lookup_permuted_vec
         ]
         lookup_mp_vec = [
-            [host_ifft(m, omega) for m in ms] for ms in lookup_m_vec
+            [self.be.ifft(m) for m in ms] for ms in lookup_m_vec
         ] if log_derivative else [[] for _ in range(num_circuits)]
         shuffle_zp_vec = [
-            [host_ifft(z, omega) for z in zs] for zs in shuffle_z_vec
+            [self.be.ifft(z) for z in zs] for zs in shuffle_z_vec
         ]
 
         # --- h(X) (reference: circuit_polynomial_builder.h Scroll by-parts;
@@ -833,44 +859,44 @@ class Halo2Prover:
         for part in range(num_parts):
             shift = zeta * pow(omega_ext, part, FR) % FR
             fixed_c = [
-                _coset_evals(po, shift, omega, n) for po in pk.fixed_polys
+                self.be.coset_evals(po, shift) for po in pk.fixed_polys
             ]
-            lf = _coset_evals(l_first_coeffs, shift, omega, n)
-            ll = _coset_evals(l_last_coeffs, shift, omega, n)
-            la = _coset_evals(l_active_coeffs, shift, omega, n)
-            sig_c = [_coset_evals(po, shift, omega, n) for po in sigma_polys]
+            lf = self.be.coset_evals(l_first_coeffs, shift)
+            ll = self.be.coset_evals(l_last_coeffs, shift)
+            la = self.be.coset_evals(l_active_coeffs, shift)
+            sig_c = [self.be.coset_evals(po, shift) for po in sigma_polys]
             acc = [0] * n
             for ci in range(num_circuits):
                 adv_c = [
-                    _coset_evals(po, shift, omega, n)
+                    self.be.coset_evals(po, shift)
                     for po in advice_polys_vec[ci]
                 ]
                 inst_c = [
-                    _coset_evals(po, shift, omega, n)
+                    self.be.coset_evals(po, shift)
                     for po in instance_polys_vec[ci]
                 ]
                 z_c = [
-                    _coset_evals(po, shift, omega, n)
+                    self.be.coset_evals(po, shift)
                     for po in perm_zp_vec[ci]
                 ]
                 lk_z_c = [
-                    _coset_evals(po, shift, omega, n)
+                    self.be.coset_evals(po, shift)
                     for po in lookup_zp_vec[ci]
                 ]
                 lk_ap_c = [
-                    _coset_evals(pa, shift, omega, n)
+                    self.be.coset_evals(pa, shift)
                     for pa, _ps in lookup_permuted_polys_vec[ci]
                 ]
                 lk_sp_c = [
-                    _coset_evals(ps, shift, omega, n)
+                    self.be.coset_evals(ps, shift)
                     for _pa, ps in lookup_permuted_polys_vec[ci]
                 ]
                 lk_m_c = [
-                    _coset_evals(mp, shift, omega, n)
+                    self.be.coset_evals(mp, shift)
                     for mp in lookup_mp_vec[ci]
                 ]
                 sh_z_c = [
-                    _coset_evals(po, shift, omega, n)
+                    self.be.coset_evals(po, shift)
                     for po in shuffle_zp_vec[ci]
                 ]
                 for idx in range(n):
@@ -1021,7 +1047,7 @@ class Halo2Prover:
         ]
         h_cms = []
         for piece in h_pieces:
-            cm = kzg.commit(piece)
+            cm = self.be.commit(piece)
             w.write_point(cm)
             h_cms.append(cm)
 
@@ -1450,7 +1476,7 @@ class Halo2Verifier:
                 else:
                     for v in col:
                         r.common_scalar(v % FR)
-                polys.append(host_ifft(padded, omega))
+                polys.append(self.be.ifft(padded))
             instance_polys_vec.append(polys)
 
         phases = cs.phases()

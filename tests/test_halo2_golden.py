@@ -397,3 +397,18 @@ def test_proving_key_serialization_roundtrip(tmp_path):
     insts = [c.instance_columns() for c in circuits]
     proof = halo2.Halo2Prover(pk2).create_proof(circuits, insts)
     assert proof.proof == golden.proof_bytes()
+
+
+@pytest.mark.slow
+def test_device_backend_proof():
+    """the JAX-kernel backend (MSM commitments, NTTs, coset evals) under
+    the byte-exact pipeline must reproduce the reference's golden proof."""
+    from tachyon_tpu.zk.plonk.halo2_device import DeviceBackend
+
+    golden = hg.load("simple_circuit", "IsSimpleFloorPlanner")
+    pk = halo2.keygen(SimpleCircuit(), k=4)
+    prover = halo2.Halo2Prover(pk, backend=DeviceBackend(pk))
+    circuits = [SimpleCircuit(), SimpleCircuit()]
+    insts = [c.instance_columns() for c in circuits]
+    proof = prover.create_proof(circuits, insts)
+    assert proof.proof == golden.proof_bytes()
