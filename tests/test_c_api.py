@@ -24,7 +24,7 @@ def test_c_api_end_to_end():
     env.pop("TACHYON_TEST_CPU", None)
     r = subprocess.run(
         [os.path.join(C_DIR, "test_capi")],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=2400,
     )
     assert r.returncode == 0, f"stdout={r.stdout} stderr={r.stderr}"
     assert "OK" in r.stdout
