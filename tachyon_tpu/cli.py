@@ -31,9 +31,35 @@ def _json_g2(pt) -> list:
     return [[str(x0), str(x1)], [str(y0), str(y1)], ["1", "0"]]
 
 
+def _resolve_platform(choice: str) -> str | None:
+    """'auto' probes the accelerator in a killable subprocess (the axon
+    tunnel HANGS rather than erroring while wedged) and falls back to cpu;
+    explicit choices pin jax_platforms directly."""
+    if choice != "auto":
+        return choice
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=180,
+        )
+        if r.returncode == 0 and b"ok" in r.stdout:
+            return None  # default platform works
+    except subprocess.TimeoutExpired:
+        pass
+    print("# accelerator unavailable; using cpu", file=sys.stderr)
+    return "cpu"
+
+
 def cmd_prove(args) -> int:
     import jax
 
+    platform = _resolve_platform(args.platform)
+    if platform:
+        jax.config.update("jax_platforms", platform)
+        if platform == "cpu":
+            args.jax_cache = args.jax_cache.rstrip("/") + "_cpu"
     jax.config.update("jax_compilation_cache_dir", args.jax_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -128,6 +154,10 @@ def main(argv=None) -> int:
     pp.add_argument("--trace-path", default=None,
                     help="write a jax profiler trace to this directory")
     pp.add_argument("--jax-cache", default="/root/repo/.jax_cache")
+    pp.add_argument("--platform", default="auto",
+                    help="jax platform name (cpu/tpu/...); 'auto' probes "
+                         "the default platform and falls back to cpu when "
+                         "the accelerator is unreachable")
     pp.set_defaults(fn=cmd_prove)
 
     hp = sub.add_parser(

@@ -2,6 +2,7 @@
 verify, check snarkjs-format proof.json (reference:
 vendors/circom/prover_main.cc flag surface + circomlib/json output)."""
 import json
+import os
 import subprocess
 import sys
 
@@ -15,7 +16,9 @@ def test_cli_prove(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "tachyon_tpu.cli", "prove", ZKEY, WTNS,
          "--proof", str(proof_p), "--public", str(public_p),
-         "--no-zk", "--verify"],
+         "--no-zk", "--verify"]
+        + (["--platform", "cpu"] if os.environ.get("TACHYON_TEST_CPU")
+           else []),
         capture_output=True, text=True, timeout=3000, cwd="/root/repo",
     )
     assert res.returncode == 0, res.stderr[-2000:]
