@@ -48,7 +48,7 @@ def main():
         print("# TPU tunnel unavailable; falling back to cpu", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache_cpu")
+                          "/root/repo/.jax_cache_cpu_bench")
         LOG_N = min(LOG_N, CPU_LOG_N)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

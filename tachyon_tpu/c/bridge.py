@@ -20,7 +20,7 @@ import jax
 # much as the CLI does (XLA compiles are minutes-per-shape on small hosts)
 jax.config.update(
     "jax_compilation_cache_dir",
-    "/root/repo/.jax_cache_cpu"
+    "/root/repo/.jax_cache_cpu_bridge"
     if jax.config.jax_platforms == "cpu" else "/root/repo/.jax_cache",
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
