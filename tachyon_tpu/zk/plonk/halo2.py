@@ -1476,7 +1476,7 @@ class Halo2Verifier:
                 else:
                     for v in col:
                         r.common_scalar(v % FR)
-                polys.append(self.be.ifft(padded))
+                polys.append(host_ifft(padded, omega))
             instance_polys_vec.append(polys)
 
         phases = cs.phases()
