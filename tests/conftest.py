@@ -21,7 +21,12 @@ import jax
 
 if os.environ.get("TACHYON_TEST_CPU"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    # entries written in other flag environments can crash AOT
+    # deserialization — cpu runs get their own cache
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
