@@ -51,7 +51,8 @@ class CircleGroup:
 
     def is_on_circle(self, p: CirclePoint):
         F = self.F
-        return F.eq(F.add(F.square(p.x), F.square(p.y)), F.ones(()))
+        one = F.ones(()).reshape((-1,) + (1,) * (p.x.ndim - 1))
+        return F.eq(F.add(F.square(p.x), F.square(p.y)), one)
 
     def add(self, a: CirclePoint, b: CirclePoint) -> CirclePoint:
         F = self.F
