@@ -13,11 +13,13 @@ import time
 import numpy as np
 
 LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
-# one-core XLA:CPU compiles of the 2^16 MSM graph take tens of minutes;
-# the cpu fallback shrinks the instance so the driver still gets a number
-CPU_LOG_N = int(os.environ.get("BENCH_CPU_LOG_N", "12"))
 # reference i9-13900K seconds (BASELINE.md "BN254 G1 MSM uniform")
 BASELINES = {16: 0.037107, 18: 0.10235, 20: 0.352276, 22: 1.22393}
+# cpu fallback benches the NTT instead: the Pippenger MSM graph takes
+# >30 min to compile on this one-core host, while the NTT compiles in
+# minutes and has its own published baseline (BASELINE.md "BN254 Fr FFT")
+NTT_LOG_N = int(os.environ.get("BENCH_NTT_LOG_N", "20"))
+NTT_BASELINES = {20: 0.01617, 23: 0.095958}
 
 
 def _tpu_available(timeout_s: int = 180) -> bool:
@@ -37,6 +39,43 @@ def _tpu_available(timeout_s: int = 180) -> bool:
         return False
 
 
+def ntt_bench():
+    """cpu-fallback flagship: BN254 Fr radix-2 NTT."""
+    import jax
+    import jax.numpy as jnp
+
+    from tachyon_tpu.math import curves
+    from tachyon_tpu.math.ntt import Radix2Domain
+
+    n = 1 << NTT_LOG_N
+    Fr = curves.bn254_fr()
+    dom = Radix2Domain(Fr, n)
+    rng = np.random.default_rng(42)
+    vals = Fr.encode(np.array(
+        [int(v) for v in rng.integers(1, 1 << 62, n)], dtype=object))
+    run = jax.jit(dom.fft)
+    t0 = time.time()
+    out = run(vals)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = run(vals)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    base_s = NTT_BASELINES.get(NTT_LOG_N)
+    print(json.dumps({
+        "metric": f"bn254_fft_2^{NTT_LOG_N}_cpu_fallback",
+        "value": best,
+        "unit": "s",
+        "vs_baseline": (base_s / best) if base_s else None,
+    }))
+    print(f"# compile={compile_s:.1f}s runs={['%.4f' % t for t in times]}",
+          file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -45,11 +84,14 @@ def main():
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     else:
         # fall back to cpu so the bench reports a number instead of hanging
-        print("# TPU tunnel unavailable; falling back to cpu", file=sys.stderr)
+        print("# TPU tunnel unavailable; falling back to cpu (NTT metric)",
+              file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache_cpu_bench")
-        LOG_N = min(LOG_N, CPU_LOG_N)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return ntt_bench()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
