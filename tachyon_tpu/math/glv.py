@@ -42,10 +42,14 @@ def _short_basis(r: int, lam: int):
         ts.append(ts[-2] - q * ts[-1])
     l = len(rs) - 1
     v1 = (rs[l], -ts[l])
-    # candidate second vectors
-    cands = [(rs[l - 1], -ts[l - 1])]
-    if l + 1 <= len(rs) - 1:
-        cands.append((rs[l + 1], -ts[l + 1]))
+    # one more Euclid step for the second candidate (GLV recipe: v2 is the
+    # shorter of (r_{l-1}, -t_{l-1}) and (r_{l+1}, -t_{l+1}); without the
+    # extra step r_{l-1} alone can be far above sqrt(r) and the Babai
+    # rounding then returns wide k1/k2)
+    q = rs[l - 1] // rs[l]
+    rs.append(rs[l - 1] - q * rs[l])
+    ts.append(ts[l - 1] - q * ts[l])
+    cands = [(rs[l - 1], -ts[l - 1]), (rs[l + 1], -ts[l + 1])]
     v2 = min(cands, key=lambda v: v[0] * v[0] + v[1] * v[1])
     return v1, v2
 
@@ -77,10 +81,18 @@ class GLV:
         """k = k1 + k2*lam (mod r) with small |k1|, |k2| (signed)."""
         r = self.r
         (a1, b1), (a2, b2) = self.v1, self.v2
-        # (c1, c2) = round(k * (M^-1) e1) where M = [[a1, a2], [b1, b2]]
+        # (c1, c2) = round(k * (M^-1) e1) where M = [[a1, a2], [b1, b2]];
+        # the rounding must be sign-safe: python floor-division corrupts
+        # round-to-nearest when the reduced basis gives det < 0
         det = a1 * b2 - a2 * b1
-        c1 = (b2 * k * 2 + det) // (2 * det)
-        c2 = (-b1 * k * 2 + det) // (2 * det)
+
+        def rnd(x, d=det):
+            if d < 0:
+                x, d = -x, -d
+            return (2 * x + d) // (2 * d)
+
+        c1 = rnd(b2 * k)
+        c2 = rnd(-b1 * k)
         k1 = k - c1 * a1 - c2 * a2
         k2 = -c1 * b1 - c2 * b2
         assert (k1 + k2 * self.lam - k) % r == 0
