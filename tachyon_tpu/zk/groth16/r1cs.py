@@ -239,8 +239,18 @@ def setup(r1cs: R1CS, family: str = "bn254", rng=None) -> Groth16Params:
 
 def _dev_points(curve, pts: list) -> AffinePoint:
     F = curve.F
-    xs = np.array([0 if p is None else p[0] for p in pts], dtype=object)
-    ys = np.array([0 if p is None else p[1] for p in pts], dtype=object)
+    D = getattr(F, "D", 1)
+    if D == 1:
+        xs = np.array([0 if p is None else p[0] for p in pts], dtype=object)
+        ys = np.array([0 if p is None else p[1] for p in pts], dtype=object)
+    else:
+        # extension coords (G2 over Fq2): ExtField.encode wants a length-D
+        # list of per-coefficient arrays
+        zero = (0,) * D
+        xs = [np.array([(zero if p is None else p[0])[d] for p in pts],
+                       dtype=object) for d in range(D)]
+        ys = [np.array([(zero if p is None else p[1])[d] for p in pts],
+                       dtype=object) for d in range(D)]
     infs = np.array([p is None for p in pts])
     return AffinePoint(F.encode(xs), F.encode(ys), jnp.asarray(infs))
 
