@@ -112,7 +112,8 @@ def main():
     from tests.test_ec import py_mul
 
     G = (int(curve.gen_x), int(curve.gen_y))
-    base = [py_mul(G, int(k), 0, Fq.p) for k in rng.integers(1, 1 << 30, 256)]
+    ks = rng.integers(1, 1 << 30, 256)
+    base = [py_mul(G, int(k), 0, Fq.p) for k in ks]
     xs = np.array([p[0] for p in base], dtype=object)
     ys = np.array([p[1] for p in base], dtype=object)
     bx, by = Fq.encode(xs), Fq.encode(ys)
@@ -126,6 +127,14 @@ def main():
     sc_bytes = rng.integers(0, 1 << 16, size=(Ls, n), dtype=np.uint32)
     sc_bytes[-1] &= 0x3FFF  # keep below the modulus
     scal = jnp.asarray(sc_bytes)
+
+    # exact expected answer: point i is ks[i % 256]*G, so the MSM equals
+    # (sum_i ks[i%256]*s_i mod r) * G — computable on host in milliseconds.
+    from tachyon_tpu.fields.spec import limbs_to_int
+
+    s_ints = [limbs_to_int(sc_bytes[:, i]) for i in range(n)]
+    k_total = sum(int(ks[i % 256]) * s_ints[i] for i in range(n)) % Fr.p
+    expected = py_mul(G, k_total, 0, Fq.p)
 
     import functools
 
@@ -142,6 +151,14 @@ def main():
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
+
+    # bit-exact result check against the host-exact expected point
+    aff = curve.to_affine(out)
+    got = (int(Fq.decode(np.asarray(aff.x))), int(Fq.decode(np.asarray(aff.y))))
+    verified = bool(np.asarray(aff.inf) == (expected is None)) and (
+        expected is None or got == expected
+    )
+
     base_s = BASELINES.get(LOG_N)
     print(
         json.dumps(
@@ -150,6 +167,7 @@ def main():
                 "value": best,
                 "unit": "s",
                 "vs_baseline": (base_s / best) if base_s else None,
+                "verified": verified,
             }
         )
     )

@@ -73,8 +73,10 @@ def main_prove():
     t0 = time.time()
     data = pcs.commit([mat])
     ch = DuplexChallenger(poseidon2.baby_bear_p3_w16(), rate=4)
-    proof = pcs.open(data, [3, 1, 4, 1], ch)
-    jax.block_until_ready(proof.final_poly)
+    _ov, proof = pcs.create_opening_proof(
+        [data], [[[[3, 1, 4, 1]]]], ch
+    )
+    jax.block_until_ready(proof.final_eval)
     total = time.time() - t0
     base = {(22, 100): 47.65}.get((log_n, cols))
     report(f"fri_prove_2^{log_n}x{cols}", total, base)

@@ -282,15 +282,26 @@ def sp1_baby_bear_fri_prove_verify(
         off += rows * cols
         mats.append(F.encode(np.array(m, dtype=object)))
     data = pcs.commit(mats)
-    z = [5, 6, 7, 8]  # fixed sample point; the challenger binds the roots
 
     def challenger():
-        return DuplexChallenger(poseidon2.baby_bear_p3_w16(), rate=4)
+        # SP1 convention: duplex rate 8 over the width-16 permutation
+        # (reference: c/zk/air/sp1/baby_bear_poseidon2_constants.h).
+        ch = DuplexChallenger(poseidon2.baby_bear_p3_w16(), rate=8)
+        root = np.asarray(data.root())
+        for i in range(root.shape[1]):
+            ch.observe(int(F.decode(root[:, i])))
+        return ch
 
-    proof = pcs.open(data, z, challenger())
-    dims = [(lde.shape[1], lde.shape[2]) for lde in data.ldes]
-    assert pcs.verify(data.roots(), dims, z, proof, challenger()), \
-        "FRI verification failed"
-    root = np.asarray(data.trees[0].root())
+    p_ch = challenger()
+    zeta = p_ch.sample_ext(pcs.ext.D)
+    points = [[[zeta]] * len(mats)]
+    opened_values, proof = pcs.create_opening_proof([data], points, p_ch)
+    v_ch = challenger()
+    assert v_ch.sample_ext(pcs.ext.D) == zeta
+    dims = [[(m.shape[1], m.shape[2]) for m in mats]]
+    assert pcs.verify_opening_proof(
+        [data.root()], dims, points, opened_values, proof, v_ch
+    ), "FRI verification failed"
+    root = np.asarray(data.root())
     ints = [int(F.decode(root[:, i])) for i in range(root.shape[1])]
     return struct.pack("<8I", *ints)

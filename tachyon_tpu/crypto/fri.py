@@ -1,25 +1,43 @@
-"""TwoAdicFRI polynomial commitment scheme (Plonky3/SP1-style architecture).
+"""TwoAdicFRI polynomial commitment scheme, bit-compatible with the
+reference / Plonky3 / SP1.
 
 TPU-native analog of the reference's TwoAdicFRI
 (reference: tachyon/crypto/commitments/fri/two_adic_fri.h Commit/
-CreateOpeningProof, fri/prove.h CommitPhase, fri/verify.h,
-fri/fri_config.h).  Components:
+CreateOpeningProof/VerifyOpeningProof, fri/prove.h CommitPhase/AnswerQuery/
+Prove, fri/verify.h Verify/VerifyQuery, fri/fri_config.h FoldMatrix/FoldRow).
 
-  * commit: per-matrix coset LDE batch (blowup 2^log_blowup) + field-merkle
-    MMCS commitment;
-  * open: out-of-domain evals, alpha-batched two-adic quotient reduction,
-    beta-fold commit phase, PoW grind, query phase with merkle openings;
-  * verify: recompute reduced openings at query points and walk the fold
-    chain down to the final constant.
+Every convention follows the reference exactly so that, fed the same
+matrices and challenger state, the transcript stream, commitments, proof
+fields and final evaluations are value-identical:
 
-Domain convention (documented deviation from plonky3's bit-reversed
-layout, revisited for bit-compat later): all arrays are NATURAL order; a
-matrix of LDE height h is evaluated on the coset  g^(2^k) * H_h  with
-k = log2(max_h) - log2(h), which makes every fold layer's domain equal the
-square of its parent's -- the fold chain and the injected reduced openings
-then live on identical domains by construction.
+  * commit: per-matrix coset LDE onto g*H (g = multiplicative group
+    generator), rows stored in BIT-REVERSED order
+    (radix2_evaluation_domain.h CosetLDEBatch with reverse_at_last=false);
+    ONE FieldMerkleTree MMCS per commit over all matrices (mixed heights);
+  * open (two_adic_fri.h CreateOpeningProof): alpha <- challenger;
+    per-matrix alpha-combined rows; per-(point,height) inverse denominators
+    over the bitrev coset; reduced openings keyed by log-height with
+    PER-HEIGHT alpha-power offsets (num_reduced[]); commit phase pairs
+    ADJACENT bitrev entries into (half, 2)-ext matrices, observes each
+    commitment, samples beta, folds with
+      ret[r] = (1/2 + b/2 * w^-rev(r)) * lo + (1/2 - b/2 * w^-rev(r)) * hi
+    (fri_config.h FoldMatrix — note NO coset shift: the fold relabels the
+    coset gH as H, which preserves degrees); final constant observed; PoW
+    grind; per query index <- SampleBits(log_global_max), input openings at
+    index >> (log_global_max - log_round_max), fold-layer openings keep only
+    the SIBLING value (prove.h AnswerQuery);
+  * verify (verify.h): replays betas, checks PoW, recomputes the reduced
+    openings from the opened input rows (per-height alpha streams,
+    x = g * w^rev(index >> bits_reduced)), reconstructs each fold-layer leaf
+    row from its own running value + the proof sibling, checks the MMCS
+    opening, folds (fri_config.h FoldRow), and compares to final_eval.
 
-Fold rule (x -> x^2):  f'(x^2) = (f(x)+f(-x))/2 + beta * (f(x)-f(-x))/(2x).
+The PCS does NOT touch the challenger for input commitments or opened
+values — callers observe those (matching the reference's caller-side
+ObserveContainer2D / uni-stark schedule).
+
+Transcript/index logic is host-exact; all bulk field work (LDEs, alpha
+combination, quotients, folds, merkle hashing) is vectorized on device.
 """
 from __future__ import annotations
 
@@ -34,7 +52,7 @@ from tachyon_tpu.crypto.challenger import DuplexChallenger
 from tachyon_tpu.crypto.poseidon2 import Poseidon2
 from tachyon_tpu.math.extfield import ExtField
 from tachyon_tpu.math.field import PrimeField
-from tachyon_tpu.math.ntt import Radix2Domain
+from tachyon_tpu.math.ntt import Radix2Domain, _bitrev_perm
 
 
 @dataclasses.dataclass(frozen=False)
@@ -44,6 +62,14 @@ class FRIConfig:
     log_blowup: int = 1
     num_queries: int = 10
     proof_of_work_bits: int = 8
+
+    @property
+    def blowup(self) -> int:
+        return 1 << self.log_blowup
+
+
+def _rev_bits(x: int, bits: int) -> int:
+    return int(f"{x:0{bits}b}"[::-1], 2) if bits else 0
 
 
 def ext_powers(ext: ExtField, z: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -71,27 +97,46 @@ def ext_tree_sum(ext: ExtField, arr: jnp.ndarray) -> jnp.ndarray:
 
 
 class CommitData(NamedTuple):
-    trees: tuple  # one FieldMerkleTree per LDE height (descending)
-    tree_heights: tuple  # LDE height per tree
-    tree_members: tuple  # per tree: original matrix indices
-    ldes: tuple  # (L, h, C) natural-order LDE evals per matrix
-    coeffs: tuple  # (L, n, C) coefficient form per matrix
-    heights: tuple  # original heights n
+    """Prover data for one Commit call (reference: MMCS ProverData +
+    the coefficient forms the opener needs)."""
 
-    def roots(self):
-        return tuple(t.root() for t in self.trees)
+    tree: merkle.FieldMerkleTree
+    ldes: tuple  # (L, H, C) bit-reversed-row LDE evals per matrix
+    coeffs: tuple  # (L, n, C) plain coefficient form per matrix
+    heights: tuple  # LDE heights H per matrix
+    log_max: int  # log2(max LDE height in this commit)
+
+    def root(self) -> jnp.ndarray:
+        return self.tree.root()
+
+
+class BatchOpening(NamedTuple):
+    """reference: fri_proof.h BatchOpening."""
+
+    opened_values: tuple  # per matrix: (L, C) base rows (bitrev index)
+    opening_proof: tuple  # merkle path digests
+
+
+class CommitPhaseProofStep(NamedTuple):
+    """reference: fri_proof.h CommitPhaseProofStep — sibling only; the
+    verifier reconstructs its own value from the fold chain."""
+
+    sibling_value: jnp.ndarray  # (D, L)
+    opening_proof: tuple  # merkle path digests
+
+
+class QueryProof(NamedTuple):
+    input_proof: tuple  # per round: BatchOpening
+    commit_phase_openings: tuple  # per fold layer: CommitPhaseProofStep
 
 
 class FRIProof(NamedTuple):
-    # per round -> per matrix -> per point: (D, L, C) ext evals
-    opened_values: tuple
-    fold_roots: tuple  # (L, DIGEST) per fold layer
-    final_poly: jnp.ndarray  # (D, L) constant
+    """reference: fri_proof.h FRIProof."""
+
+    commit_phase_commits: tuple  # (L, DIGEST) roots per fold layer
+    query_proofs: tuple  # num_queries QueryProofs
+    final_eval: jnp.ndarray  # (D, L)
     pow_witness: int
-    query_indices: tuple
-    # per query -> per round -> per tree: MerkleProof
-    query_input_proofs: tuple
-    query_fold_proofs: tuple  # per query: tuple of per-layer MerkleProof
 
 
 class TwoAdicFRIPCS:
@@ -113,409 +158,409 @@ class TwoAdicFRIPCS:
             self._dom_cache[n] = Radix2Domain(self.F, n)
         return self._dom_cache[n]
 
-    def _shift_for_height(self, lde_h: int, max_h: int = 0) -> int:
-        """Coset shift for a height-h LDE: g^(2^(two_adicity - log2 h)).
+    def _observe_root(self, challenger, root) -> None:
+        root = np.asarray(root)
+        for i in range(merkle.DIGEST):
+            challenger.observe(int(self.F.decode(root[:, i])))
 
-        Anchored to the field's two-adicity (not the per-commit max height)
-        so the chain shift(h/2) = shift(h)^2 holds across independent
-        commits — multi-round opens mix matrices from different commit
-        calls into one fold chain.  max_h is accepted and ignored.
-        """
-        k = self.F.spec.two_adicity - (lde_h.bit_length() - 1)
-        return pow(self.F.spec.generator, 1 << k, self.F.p)
+    def _observe_ext(self, challenger, value) -> None:
+        value = np.asarray(value)
+        for d in range(self.ext.D):
+            challenger.observe(int(self.F.decode(value[d])))
 
     # ------------------------------------------------------------------ commit
-    def commit(self, matrices: Sequence[jnp.ndarray]) -> CommitData:
-        """matrices: (L, n, C) evaluations over H_n. Commits their LDEs."""
-        blow = self.cfg.log_blowup
-        max_h = max(m.shape[1] for m in matrices) << blow
+    def commit(
+        self,
+        matrices: Sequence[jnp.ndarray],
+        shifts: Sequence[int] | None = None,
+    ) -> CommitData:
+        """matrices[i]: (L, n_i, C_i) evaluations over shifts[i]*H_{n_i}
+        (shift 1 = the natural domain).  Commits the bit-reversed LDEs over
+        g*H_{n<<log_blowup} in ONE mixed-height merkle tree.
+
+        Reference: two_adic_fri.h Commit — CosetLDEBatch(mat, log_blowup,
+        g * offset_inv, reverse_at_last=false) then MMCS CommitOwned.
+        """
+        F, blow = self.F, self.cfg.log_blowup
+        g = F.spec.generator
+        if shifts is None:
+            shifts = [1] * len(matrices)
         ldes, coeffs = [], []
-        for m in matrices:
+        for m, s in zip(matrices, shifts):
             n = m.shape[1]
             dom = self._domain(n)
-            cf = dom.ifft(m)
+            cf = dom.coset_ifft(m, s) if s != 1 else dom.ifft(m)
             coeffs.append(cf)
-            big = self._domain(n << blow)
-            pad = jnp.zeros((cf.shape[0], (n << blow) - n) + cf.shape[2:], cf.dtype)
-            shift = self._shift_for_height(n << blow, max_h)
-            ldes.append(big.coset_fft(jnp.concatenate([cf, pad], axis=1), shift))
-        # one tree per height: the natural-order fold chain consumes row
-        # q mod h for a height-h matrix, which a single mixed tree cannot
-        # bind (it forces q >> diff); separate trees restore consistency.
-        by_h: dict[int, list[int]] = {}
-        for i, l in enumerate(ldes):
-            by_h.setdefault(l.shape[1], []).append(i)
-        trees, tree_hs, tree_members = [], [], []
-        for hgt in sorted(by_h, reverse=True):
-            idxs = by_h[hgt]
-            trees.append(merkle.build(self.h, [ldes[i] for i in idxs]))
-            tree_hs.append(hgt)
-            tree_members.append(tuple(idxs))
+            H = n << blow
+            big = self._domain(H)
+            pad = jnp.zeros((cf.shape[0], H - n) + cf.shape[2:], cf.dtype)
+            lde = big.coset_fft(jnp.concatenate([cf, pad], axis=1), g)
+            perm = jnp.asarray(_bitrev_perm(H.bit_length() - 1))
+            ldes.append(jnp.take(lde, perm, axis=1))
+        tree = merkle.build(self.h, ldes)
+        max_h = max(l.shape[1] for l in ldes)
         return CommitData(
-            tuple(trees), tuple(tree_hs), tuple(tree_members),
-            tuple(ldes), tuple(coeffs), tuple(m.shape[1] for m in matrices)
+            tree,
+            tuple(ldes),
+            tuple(coeffs),
+            tuple(l.shape[1] for l in ldes),
+            max_h.bit_length() - 1,
         )
+
+    def get_evaluations_on_domain(
+        self, data: CommitData, idx: int, size: int
+    ) -> jnp.ndarray:
+        """Evaluations of committed matrix `idx` on g*H_size, natural order
+        (reference: vendors/sp1/src/baby_bear_poseidon2.rs:718
+        get_evaluations_on_domain — the first `size` bitrev LDE rows,
+        re-bit-reversed).  SP1 uses this for trace evals on the quotient
+        domain."""
+        lde = data.ldes[idx]
+        assert lde.shape[1] >= size
+        perm = jnp.asarray(_bitrev_perm(size.bit_length() - 1))
+        return jnp.take(lde[:, :size], perm, axis=1)
 
     # -------------------------------------------------------------------- open
     def _eval_at_ext(self, coeffs: jnp.ndarray, z) -> jnp.ndarray:
-        """base coeffs (L, n, C) at ext z (D, L) -> (D, L, C)."""
+        """base coeffs (L, n, C) at ext z (D, L) -> (D, L, C).
+
+        Value-equal to the reference's barycentric InterpolateCoset
+        (two_adic_fri.h:340): both evaluate the unique interpolant.
+        """
         ext = self.ext
-        n, C = coeffs.shape[1], coeffs.shape[2]
+        n = coeffs.shape[1]
         zp = ext_powers(ext, z, n)  # (D, L, n)
-        # mul_base multiplies ext (D,L,n,1) by base (L,n,C) broadcast:
-        terms = ext.mul_base(zp[..., None], coeffs)
-        s = terms
+        terms = ext.mul_base(zp[..., None], coeffs)  # (D, L, n, C)
         m = 1 << max(n - 1, 0).bit_length()
         if m != n:
-            padshape = s.shape[:2] + (m - n,) + s.shape[3:]
-            s = jnp.concatenate([s, jnp.zeros(padshape, s.dtype)], axis=2)
+            padshape = terms.shape[:2] + (m - n,) + terms.shape[3:]
+            terms = jnp.concatenate(
+                [terms, jnp.zeros(padshape, terms.dtype)], axis=2
+            )
         while m > 1:
             half = m // 2
-            s = ext.add(s[:, :, :half], s[:, :, half:])
+            terms = ext.add(terms[:, :, :half], terms[:, :, half:])
             m = half
-        return s[:, :, 0]  # (D, L, C)
+        return terms[:, :, 0]  # (D, L, C)
 
-    def open(
+    def _coset_x_bitrev(self, log_h: int) -> jnp.ndarray:
+        """(L, 2^log_h) base table x_i = g * w^rev(i) over the LDE coset."""
+        F = self.F
+        H = 1 << log_h
+        dom = self._domain(H)
+        wp = dom.shift_powers(dom.omega_int, H)  # (L, H): w^j natural
+        sc = F.encode(np.array(F.spec.generator, dtype=object))
+        xs = F.mul(wp, sc[:, None])
+        return jnp.take(xs, jnp.asarray(_bitrev_perm(log_h)), axis=1)
+
+    def create_opening_proof(
         self,
-        data: CommitData,
-        z_int: list[int],
+        data_by_round: Sequence[CommitData],
+        points_by_round: Sequence[Sequence[Sequence[list[int]]]],
         challenger: DuplexChallenger,
-    ) -> FRIProof:
-        """Single-round sugar: open every matrix at one ext point z."""
-        points = [[z_int]] * len(data.ldes)
-        return self.open_rounds([(data, points)], challenger)
+    ) -> tuple[tuple, FRIProof]:
+        """points_by_round[r][m] = list of ext points (each a list of D
+        coefficient ints) to open round r's matrix m at.  The caller must
+        already have observed the commitments (reference: the PCS samples
+        alpha as its FIRST challenger interaction,
+        two_adic_fri.h CreateOpeningProof).
 
-    def open_rounds(
-        self,
-        rounds: Sequence[tuple],
-        challenger: DuplexChallenger,
-    ) -> FRIProof:
-        """Plonky3-style multi-round open (reference: two_adic_fri.h
-        CreateOpeningProof over Vec<(ProverData, Vec<Vec<Point>>)>).
-
-        rounds: list of (CommitData, points) where points[m] is the list of
-        ext points (each a list of D coeff ints) to open matrix m at.
+        Returns (opened_values, proof); opened_values[r][m][pt] is (D, L, C).
         """
         F, ext, cfg = self.F, self.ext, self.cfg
         D = ext.D
 
-        # 0. bind the input commitments (round order)
-        for data, _pts in rounds:
-            for t in data.trees:
-                root = np.asarray(t.root())  # one device->host transfer
-                for i in range(merkle.DIGEST):
-                    challenger.observe(int(F.decode(root[:, i])))
+        alpha_int = challenger.sample_ext(D)
+        alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
 
-        # 1. out-of-domain evaluations: per round/matrix/point
-        opened = []
+        log_global_max = max(d.log_max for d in data_by_round)
+
+        # Pre-compute 1/(x - z) per unique point over its largest subgroup,
+        # in bitrev order (two_adic_fri.h ComputeInverseDenominators).  The
+        # bitrev table of H_k is a prefix of the bitrev table of H_m (k<m),
+        # so slicing [:H] specializes to smaller heights.
+        max_log_for_point: dict[tuple, int] = {}
         z_enc: dict[tuple, jnp.ndarray] = {}
-        for data, pts in rounds:
-            r_open = []
-            for m_idx, cf in enumerate(data.coeffs):
-                m_open = []
+        for data, pts in zip(data_by_round, points_by_round):
+            for m_idx, H in enumerate(data.heights):
+                log_h = H.bit_length() - 1
                 for z_int in pts[m_idx]:
                     key = tuple(z_int)
                     if key not in z_enc:
                         z_enc[key] = ext.encode(
                             [np.array(c, dtype=object) for c in z_int]
                         )
-                    ov = self._eval_at_ext(cf, z_enc[key])
-                    m_open.append(ov)
-                    ov_h = np.asarray(ov)  # one transfer for the whole block
-                    for c in range(ov_h.shape[-1]):
-                        for d in range(D):
-                            challenger.observe(int(F.decode(ov_h[d, :, c])))
-                r_open.append(tuple(m_open))
-            opened.append(tuple(r_open))
-        opened = tuple(opened)
-
-        alpha_int = challenger.sample_ext(D)
-        alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
-
-        # 2. reduced openings per LDE height:
-        #    ro = sum_{(matrix, point, col)} a^k (M_col - y)/(x - z)
-        blow = cfg.log_blowup
-        max_h = max(
-            m.shape[1] for data, _ in rounds for m in data.ldes
-        )
-        ro_by_height: dict[int, jnp.ndarray] = {}
-        a_pow_offset = 0
-        for r_idx, (data, pts) in enumerate(rounds):
-            for m_idx, lde in enumerate(data.ldes):
-                h = lde.shape[1]
-                C = lde.shape[2]
-                shift = self._shift_for_height(h, max_h)
-                dom = self._domain(h)
-                # coset points x_j = shift * w^j
-                wp = dom.shift_powers(dom.omega_int, h)  # (L, h): w^j
-                sc = F.encode(np.array(shift, dtype=object))
-                xs = F.mul(wp, sc[:, None])
-                x_ext = ext.embed(xs)  # (D, L, h)
-                cols = ext.embed(lde)  # (D, L, h, C)
-                for pt_idx, z_int in enumerate(pts[m_idx]):
-                    z = z_enc[tuple(z_int)]
-                    denom = ext.sub(x_ext, z[..., None])
-                    inv_denom = ext.batch_inverse(denom, axis=-1)  # (D, L, h)
-                    apows = ext_powers(ext, alpha, a_pow_offset + C)[
-                        ..., a_pow_offset:
-                    ]
-                    y = opened[r_idx][m_idx][pt_idx]  # (D, L, C)
-                    diff = ext.sub(cols, y[:, :, None, :])
-                    num = ext.mul(diff, apows[:, :, None, :])
-                    # tree-sum over columns C
-                    mC = 1 << max(C - 1, 0).bit_length()
-                    if mC != C:
-                        pad = jnp.zeros(num.shape[:3] + (mC - C,), num.dtype)
-                        num = jnp.concatenate([num, pad], axis=3)
-                    while mC > 1:
-                        half = mC // 2
-                        num = ext.add(num[..., :half], num[..., half:])
-                        mC = half
-                    ro = ext.mul(num[..., 0], inv_denom)  # (D, L, h)
-                    if h in ro_by_height:
-                        ro_by_height[h] = ext.add(ro_by_height[h], ro)
-                    else:
-                        ro_by_height[h] = ro
-                    a_pow_offset += C
-
-        # 3. commit phase: fold from max height down to 2^log_blowup
-        cur = ro_by_height.pop(max_h)
-        betas: list[jnp.ndarray] = []
-        fold_trees: list[merkle.FieldMerkleTree] = []
-        h = max_h
-        k = max_h.bit_length() - 1
-        while h > (1 << blow):
-            half = h // 2
-            # commit pair matrix (rows j: [f[j] coords, f[j+half] coords])
-            pair_cols = jnp.concatenate(
-                [
-                    jnp.moveaxis(cur[:, :, :half], 0, -1).reshape(
-                        cur.shape[1], half, D
-                    ),
-                    jnp.moveaxis(cur[:, :, half:], 0, -1).reshape(
-                        cur.shape[1], half, D
-                    ),
-                ],
-                axis=2,
-            )  # (L, half, 2D)
-            tree = merkle.build(self.h, [pair_cols])
-            fold_trees.append(tree)
-            root = np.asarray(tree.root())
-            for i in range(merkle.DIGEST):
-                challenger.observe(int(F.decode(root[:, i])))
-            beta_int = challenger.sample_ext(D)
-            beta = ext.encode([np.array(c, dtype=object) for c in beta_int])
-            cur = self._fold(cur, beta, h, max_h)
-            betas.append(beta)
-            h = half
-            if h in ro_by_height:
-                cur = ext.add(cur, ro_by_height.pop(h))
-        assert not ro_by_height
-        final = cur[..., 0]  # all entries equal (degree 0)
-        final_h = np.asarray(final)
-        for d in range(D):
-            challenger.observe(int(F.decode(final_h[d])))
-
-        # 4. PoW + queries
-        pow_witness = challenger.grind(cfg.proof_of_work_bits)
-        log_max = max_h.bit_length() - 1
-        qs = [challenger.sample_bits(log_max) for _ in range(cfg.num_queries)]
-
-        in_proofs, fold_proofs = [], []
-        for q in qs:
-            in_proofs.append(
-                tuple(
-                    tuple(
-                        merkle.open_at(t, q % hgt)
-                        for t, hgt in zip(data.trees, data.tree_heights)
+                    max_log_for_point[key] = max(
+                        max_log_for_point.get(key, 0), log_h
                     )
-                    for data, _ in rounds
-                )
-            )
-            per_layer = []
-            qi = q
-            hh = max_h
-            for tree in fold_trees:
-                half = hh // 2
-                per_layer.append(merkle.open_at(tree, qi % half))
-                qi %= half
-                hh = half
-            fold_proofs.append(tuple(per_layer))
+        inv_denoms: dict[tuple, jnp.ndarray] = {}
+        for key, log_h in max_log_for_point.items():
+            xs = self._coset_x_bitrev(log_h)  # (L, H)
+            denom = ext.sub(ext.embed(xs), z_enc[key][..., None])
+            inv_denoms[key] = ext.batch_inverse(denom, axis=-1)  # (D, L, H)
 
-        return FRIProof(
-            opened_values=opened,
-            fold_roots=tuple(t.root() for t in fold_trees),
-            final_poly=final,
-            pow_witness=pow_witness,
-            query_indices=tuple(qs),
-            query_input_proofs=tuple(in_proofs),
-            query_fold_proofs=tuple(fold_proofs),
-        )
+        # Reduced openings per log-height with per-height alpha offsets
+        # (two_adic_fri.h:126-186: reduced_openings[32] + num_reduced[32]).
+        ro: dict[int, jnp.ndarray] = {}
+        num_reduced: dict[int, int] = {}
+        opened_values = []
+        for data, pts in zip(data_by_round, points_by_round):
+            round_values = []
+            for m_idx, (lde, cf) in enumerate(zip(data.ldes, data.coeffs)):
+                H, C = lde.shape[1], lde.shape[2]
+                log_h = H.bit_length() - 1
+                apows = ext_powers(ext, alpha, C)  # (D, L, C)
+                # reduced_rows = sum_c alpha^c * LDE[:, c]   (DotExtPowers)
+                red_rows = ext_tree_sum(
+                    ext, ext.mul_base(apows[:, :, None, :], lde)
+                )  # (D, L, H)
+                mat_values = []
+                for z_int in pts[m_idx]:
+                    key = tuple(z_int)
+                    z = z_enc[key]
+                    ys = self._eval_at_ext(cf, z)  # (D, L, C)
+                    mat_values.append(ys)
+                    red_ys = ext_tree_sum(ext, ext.mul(apows, ys))  # (D, L)
+                    off = num_reduced.get(log_h, 0)
+                    num_reduced[log_h] = off + C
+                    a_off = ext.pow_const(alpha, off)  # (D, L)
+                    term = ext.mul(
+                        ext.sub(red_rows, red_ys[..., None]),
+                        inv_denoms[key][:, :, :H],
+                    )
+                    term = ext.mul(term, a_off[..., None])
+                    ro[log_h] = (
+                        ext.add(ro[log_h], term) if log_h in ro else term
+                    )
+                round_values.append(tuple(mat_values))
+            opened_values.append(tuple(round_values))
+        opened_values = tuple(opened_values)
 
-    def _fold(self, f: jnp.ndarray, beta, h: int, max_h: int) -> jnp.ndarray:
-        """one fold layer: (D, L, h) -> (D, L, h/2)."""
-        F, ext = self.F, self.ext
-        half = h // 2
-        shift = self._shift_for_height(h, max_h)
+        # Commit phase (fri/prove.h CommitPhase).
+        cur = ro.pop(log_global_max)
+        fold_trees: list[merkle.FieldMerkleTree] = []
+        commits: list[jnp.ndarray] = []
+        betas: list[jnp.ndarray] = []
+        log_h = log_global_max
         p = F.p
         inv2 = pow(2, p - 2, p)
-        dom = self._domain(h)
-        winv = pow(dom.omega_int, h - 1, p)
-        # 1/(2 x_j) = inv2 * shift^-1 * w^-j
-        wj_inv = dom.shift_powers(winv, half)  # (L, half): w^-j
-        c = F.encode(np.array((pow(shift, p - 2, p) * inv2) % p, dtype=object))
-        inv_2x = F.mul(wj_inv, c.reshape((F.L,) + (1,) * (wj_inv.ndim - 1)))
-        lo, hi = f[..., :half], f[..., half:]
-        inv2c = F.encode(np.array(inv2, dtype=object))
-        inv2b = inv2c.reshape((F.L,) + (1,) * (lo.ndim - 2))
-        even = ext.mul_base(ext.add(lo, hi), inv2b)
-        odd = ext.mul_base(ext.sub(lo, hi), inv_2x)
-        return ext.add(even, ext.mul(odd, beta[..., None]))
+        inv2_ext = ext.embed(F.encode(np.array(inv2, dtype=object)))
+        while (1 << log_h) > cfg.blowup:
+            half = 1 << (log_h - 1)
+            lo = cur[..., 0::2]  # adjacent bitrev entries pair up
+            hi = cur[..., 1::2]
+            leaves = jnp.concatenate(
+                [jnp.moveaxis(lo, 0, -1), jnp.moveaxis(hi, 0, -1)], axis=-1
+            )  # (L, half, 2D): [lo coeffs..., hi coeffs...] per row
+            tree = merkle.build(self.h, [leaves])
+            fold_trees.append(tree)
+            commits.append(tree.root())
+            self._observe_root(challenger, tree.root())
+            beta_int = challenger.sample_ext(D)
+            beta = ext.encode([np.array(c, dtype=object) for c in beta_int])
+            betas.append(beta)
+            # FoldMatrix: pw[r] = beta/2 * w^-rev(r), w = root of size 2^log_h
+            dom = self._domain(1 << log_h)
+            winv_nat = dom.shift_powers(dom.omega_inv_int, half)  # (L, half)
+            winv = jnp.take(
+                winv_nat, jnp.asarray(_bitrev_perm(log_h - 1)), axis=1
+            )
+            half_beta = ext.mul(beta, inv2_ext)
+            pw = ext.mul_base(half_beta[..., None], winv)  # (D, L, half)
+            cur = ext.add(
+                ext.mul(ext.add(inv2_ext[..., None], pw), lo),
+                ext.mul(ext.sub(inv2_ext[..., None], pw), hi),
+            )
+            log_h -= 1
+            if log_h in ro:
+                cur = ext.add(cur, ro.pop(log_h))
+        assert not ro, "leftover reduced openings below blowup height"
+        final_eval = cur[..., 0]  # all entries equal (degree 0)
+        self._observe_ext(challenger, final_eval)
+
+        pow_witness = challenger.grind(cfg.proof_of_work_bits)
+
+        # Query phase (fri/prove.h Prove + AnswerQuery).
+        query_proofs = []
+        for _ in range(cfg.num_queries):
+            index = challenger.sample_bits(log_global_max)
+            input_proof = []
+            for data in data_by_round:
+                mp = merkle.open_at(
+                    data.tree, index >> (log_global_max - data.log_max)
+                )
+                input_proof.append(BatchOpening(mp.opened_rows, mp.siblings))
+            steps = []
+            for i, tree in enumerate(fold_trees):
+                index_i = index >> i
+                mp = merkle.open_at(tree, index_i >> 1)
+                row = mp.opened_rows[0]  # (L, 2D)
+                sib = (index_i ^ 1) & 1
+                sibling = jnp.moveaxis(
+                    row[:, sib * D : (sib + 1) * D], -1, 0
+                )  # (D, L)
+                steps.append(CommitPhaseProofStep(sibling, mp.siblings))
+            query_proofs.append(QueryProof(tuple(input_proof), tuple(steps)))
+
+        return opened_values, FRIProof(
+            commit_phase_commits=tuple(commits),
+            query_proofs=tuple(query_proofs),
+            final_eval=final_eval,
+            pow_witness=pow_witness,
+        )
 
     # ------------------------------------------------------------------ verify
-    def verify(
+    def verify_opening_proof(
         self,
-        roots: Sequence[jnp.ndarray],  # per height group (descending height)
-        dims: Sequence[tuple[int, int]],  # (lde_height, cols) per matrix
-        z_int: list[int],
+        commits_by_round: Sequence[jnp.ndarray],  # MMCS roots
+        dims_by_round: Sequence[Sequence[tuple[int, int]]],  # (orig_n, C)
+        points_by_round: Sequence[Sequence[Sequence[list[int]]]],
+        opened_values: Sequence,  # [r][m][pt]: (D, L, C) claimed evals
         proof: FRIProof,
         challenger: DuplexChallenger,
     ) -> bool:
-        """Single-round sugar (see open)."""
-        points = [[z_int]] * len(dims)
-        return self.verify_rounds([(roots, dims, points)], proof, challenger)
-
-    def verify_rounds(
-        self,
-        rounds: Sequence[tuple],
-        proof: FRIProof,
-        challenger: DuplexChallenger,
-    ) -> bool:
-        """rounds: list of (roots, dims, points); dims[m] = (lde_height,
-        cols); points[m] = list of ext points (lists of D coeff ints)."""
+        """reference: two_adic_fri.h VerifyOpeningProof + fri/verify.h.
+        The caller must already have observed the input commitments."""
         F, ext, cfg = self.F, self.ext, self.cfg
         D = ext.D
-        # reconstruct the per-height grouping used at commit time, per round
-        groupings = []
-        for roots, dims, _pts in rounds:
-            by_h: dict[int, list[int]] = {}
-            for i, (h, _) in enumerate(dims):
-                by_h.setdefault(h, []).append(i)
-            group_heights = sorted(by_h, reverse=True)
-            if len(roots) != len(group_heights):
-                return False
-            groupings.append((by_h, group_heights))
-        z_enc: dict[tuple, jnp.ndarray] = {}
-        for roots, _dims, _pts in rounds:
-            for root in roots:
-                root = np.asarray(root)
-                for i in range(merkle.DIGEST):
-                    challenger.observe(int(F.decode(root[:, i])))
-        for r_idx, (_roots, dims, pts) in enumerate(rounds):
-            for m_idx in range(len(dims)):
-                for pt_idx, z_int in enumerate(pts[m_idx]):
-                    key = tuple(z_int)
-                    if key not in z_enc:
-                        z_enc[key] = ext.encode(
-                            [np.array(c, dtype=object) for c in z_int]
-                        )
-                    ov = np.asarray(proof.opened_values[r_idx][m_idx][pt_idx])
-                    for c in range(ov.shape[-1]):
-                        for d in range(D):
-                            challenger.observe(int(F.decode(ov[d, :, c])))
+        p = F.p
+        g = F.spec.generator
+        blow = cfg.log_blowup
+
         alpha_int = challenger.sample_ext(D)
         alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
 
-        max_h = max(h for _r, dims, _p in rounds for h, _ in dims)
-        log_max = max_h.bit_length() - 1
+        log_global_max = len(proof.commit_phase_commits) + blow
+
         betas = []
-        for r in proof.fold_roots:
-            r = np.asarray(r)
-            for i in range(merkle.DIGEST):
-                challenger.observe(int(F.decode(r[:, i])))
+        for root in proof.commit_phase_commits:
+            self._observe_root(challenger, root)
             beta_int = challenger.sample_ext(D)
-            betas.append(ext.encode([np.array(c, dtype=object) for c in beta_int]))
-        final_h = np.asarray(proof.final_poly)
-        for d in range(D):
-            challenger.observe(int(F.decode(final_h[d])))
-        if not challenger.check_witness(cfg.proof_of_work_bits, proof.pow_witness):
+            betas.append(
+                ext.encode([np.array(c, dtype=object) for c in beta_int])
+            )
+        self._observe_ext(challenger, proof.final_eval)
+
+        if len(proof.query_proofs) != cfg.num_queries:
             return False
-        qs = [challenger.sample_bits(log_max) for _ in range(cfg.num_queries)]
-        if tuple(qs) != tuple(proof.query_indices):
+        if not challenger.check_witness(
+            cfg.proof_of_work_bits, proof.pow_witness
+        ):
             return False
 
-        for qi_idx, q in enumerate(qs):
-            # recompute reduced openings per height at this query
-            ro_at: dict[int, jnp.ndarray] = {}
-            a_off = 0
-            for r_idx, (roots, dims, pts) in enumerate(rounds):
-                inp = proof.query_input_proofs[qi_idx][r_idx]
-                by_h, group_heights = groupings[r_idx]
-                opened_by_matrix = {}
-                for gi, hgt in enumerate(group_heights):
-                    gdims = [(hgt, dims[i][1]) for i in by_h[hgt]]
-                    if not merkle.verify(
-                        self.h, roots[gi], gdims, q % hgt, inp[gi]
-                    ):
-                        return False
-                    for k, i in enumerate(by_h[hgt]):
-                        opened_by_matrix[i] = inp[gi].opened_rows[k]
-                for m_idx, (h, C) in enumerate(dims):
-                    idx = q % h
-                    shift = self._shift_for_height(h, max_h)
-                    dom = self._domain(h)
-                    x_int = (shift * pow(dom.omega_int, idx, F.p)) % F.p
+        z_enc: dict[tuple, jnp.ndarray] = {}
+        inv2 = pow(2, p - 2, p)
+        inv2_ext = ext.embed(F.encode(np.array(inv2, dtype=object)))
+
+        for qp in proof.query_proofs:
+            index = challenger.sample_bits(log_global_max)
+
+            # Recompute reduced openings (two_adic_fri.h verifier lambda).
+            ro_val: dict[int, jnp.ndarray] = {}
+            ro_pow: dict[int, jnp.ndarray] = {}
+            for r_idx, (root, dims, pts) in enumerate(
+                zip(commits_by_round, dims_by_round, points_by_round)
+            ):
+                lde_dims = [(n << blow, C) for n, C in dims]
+                batch_max = max(h for h, _ in lde_dims)
+                bits_reduced = log_global_max - (batch_max.bit_length() - 1)
+                reduced_index = index >> bits_reduced
+                batch = qp.input_proof[r_idx]
+                mp = merkle.MerkleProof(
+                    batch.opened_values, batch.opening_proof
+                )
+                if not merkle.verify(self.h, root, lde_dims, reduced_index, mp):
+                    return False
+                for m_idx, (H, C) in enumerate(lde_dims):
+                    log_h = H.bit_length() - 1
+                    rev_reduced = _rev_bits(
+                        index >> (log_global_max - log_h), log_h
+                    )
+                    dom = self._domain(H)
+                    x_int = (g * pow(dom.omega_int, rev_reduced, p)) % p
                     x = ext.embed(F.encode(np.array(x_int, dtype=object)))
-                    row = opened_by_matrix[m_idx]  # (L, C)
+                    row = ext.embed(batch.opened_values[m_idx])  # (D, L, C)
+                    if log_h not in ro_val:
+                        ro_val[log_h] = ext.zeros(())
+                        ro_pow[log_h] = ext.ones(())
                     for pt_idx, z_int in enumerate(pts[m_idx]):
-                        z = z_enc[tuple(z_int)]
+                        key = tuple(z_int)
+                        if key not in z_enc:
+                            z_enc[key] = ext.encode(
+                                [np.array(c, dtype=object) for c in z_int]
+                            )
+                        z = z_enc[key]
                         denom_inv = ext.inv(ext.sub(x, z))
-                        y = proof.opened_values[r_idx][m_idx][pt_idx]
-                        apows = ext_powers(ext, alpha, a_off + C)[..., a_off:]
-                        diff = ext.sub(ext.embed(row), y)
-                        num = ext_tree_sum(ext, ext.mul(diff, apows))
-                        ro = ext.mul(num, denom_inv)
-                        ro_at[h] = ext.add(ro_at[h], ro) if h in ro_at else ro
-                        a_off += C
-            # walk the fold chain
-            cur_val = ro_at.pop(max_h)
-            qi = q
-            hh = max_h
-            for li, layer_proof in enumerate(proof.query_fold_proofs[qi_idx]):
-                half = hh // 2
-                j = qi % half
-                pair = layer_proof.opened_rows[0]  # (L, 2D)
+                        ys = opened_values[r_idx][m_idx][pt_idx]  # (D, L, C)
+                        if ys.shape[-1] != C:
+                            return False
+                        # quotient_c = (row_c - ys_c) / (x - z); the running
+                        # per-height pow stream (pow * alpha^c) mirrors the
+                        # prover's num_reduced counters.
+                        apows = ext.mul(
+                            ext_powers(ext, alpha, C),
+                            ro_pow[log_h][..., None],
+                        )
+                        diff = ext.sub(row, ys)
+                        contrib = ext_tree_sum(
+                            ext,
+                            ext.mul(ext.mul(diff, apows), denom_inv[..., None]),
+                        )
+                        ro_val[log_h] = ext.add(ro_val[log_h], contrib)
+                        ro_pow[log_h] = ext.mul(
+                            ro_pow[log_h], ext.pow_const(alpha, C)
+                        )
+            # Fold walk (fri/verify.h VerifyQuery).
+            folded = ext.zeros(())
+            idx = index
+            if len(qp.commit_phase_openings) != len(betas):
+                return False
+            for step_idx, step in enumerate(qp.commit_phase_openings):
+                log_folded = log_global_max - step_idx - 1
+                if (log_folded + 1) in ro_val:
+                    folded = ext.add(folded, ro_val.pop(log_folded + 1))
+                sib = (idx ^ 1) & 1
+                pair_idx = idx >> 1
+                e = [folded, folded]
+                e[sib] = step.sibling_value
+                row = jnp.concatenate(
+                    [jnp.moveaxis(e[0], 0, -1), jnp.moveaxis(e[1], 0, -1)],
+                    axis=-1,
+                )  # (L, 2D)
+                mp = merkle.MerkleProof((row,), step.opening_proof)
                 if not merkle.verify(
                     self.h,
-                    proof.fold_roots[li],
-                    [(half, 2 * D)],
-                    j,
-                    layer_proof,
+                    proof.commit_phase_commits[step_idx],
+                    [(1 << log_folded, 2 * D)],
+                    pair_idx,
+                    mp,
                 ):
                     return False
-                f_lo = jnp.moveaxis(pair[:, :D], 1, 0)  # (D, L)
-                f_hi = jnp.moveaxis(pair[:, D:], 1, 0)
-                # check consistency with current value
-                mine = f_lo if qi < half else f_hi
-                if not bool(np.asarray(ext.eq(mine, cur_val)).all()):
-                    return False
-                # fold the pair
-                shift = self._shift_for_height(hh, max_h)
-                dom = self._domain(hh)
-                p = F.p
-                inv2 = pow(2, p - 2, p)
-                x_j = (shift * pow(dom.omega_int, j, p)) % p
-                inv_2x = F.encode(np.array((pow(x_j, p - 2, p) * inv2) % p, dtype=object))
-                inv2c = F.encode(np.array(inv2, dtype=object))
-                even = ext.mul_base(ext.add(f_lo, f_hi), inv2c)
-                odd = ext.mul_base(ext.sub(f_lo, f_hi), inv_2x)
-                cur_val = ext.add(even, ext.mul(odd, betas[li]))
-                qi = j
-                hh = half
-                if hh in ro_at:
-                    cur_val = ext.add(cur_val, ro_at.pop(hh))
-            if ro_at:
+                # FoldRow: x = w^rev(pair_idx) over size 2^(log_folded+1);
+                # xs = [x, -x]; result = e0 + (beta - x)(e1 - e0)/(-2x).
+                dom = self._domain(1 << (log_folded + 1))
+                x_int = pow(dom.omega_int, _rev_bits(pair_idx, log_folded), p)
+                x = ext.embed(F.encode(np.array(x_int, dtype=object)))
+                diff = ext.sub(e[1], e[0])
+                neg_inv_2x = ext.neg(
+                    ext.mul(
+                        inv2_ext,
+                        ext.embed(
+                            F.encode(np.array(pow(x_int, p - 2, p), dtype=object))
+                        ),
+                    )
+                )
+                folded = ext.add(
+                    e[0],
+                    ext.mul(
+                        ext.mul(ext.sub(betas[step_idx], x), diff), neg_inv_2x
+                    ),
+                )
+                idx = pair_idx
+            if idx >= cfg.blowup:
                 return False
-            if not bool(np.asarray(ext.eq(cur_val, proof.final_poly)).all()):
+            if ro_val:
+                return False
+            if not bool(np.asarray(ext.eq(folded, proof.final_eval)).all()):
                 return False
         return True

@@ -67,13 +67,31 @@ def msm_sharded(
     return _tree_reduce(curve, partials, n_dev)
 
 
+def msm_sharded_windows(
+    curve: SWCurve,
+    mesh: Mesh,
+    points: AffinePoint,
+    scalars: jnp.ndarray,
+    c: int,
+    window_axis: str = "win",
+) -> PointXYZZ:
+    """Pure window-parallel MSM (the reference's kParallelWindow,
+    pippenger.h:157 / pippenger_adapter.h:15-35): points replicated, the
+    Pippenger window axis sharded over the mesh — each chip accumulates
+    buckets for its window block over ALL points."""
+    return msm_sharded_2d(
+        curve, mesh, points, scalars, c,
+        point_axis=None, window_axis=window_axis,
+    )
+
+
 def msm_sharded_2d(
     curve: SWCurve,
     mesh: Mesh,
     points: AffinePoint,
     scalars: jnp.ndarray,
     c: int,
-    point_axis: str = "dp",
+    point_axis: str | None = "dp",
     window_axis: str = "win",
 ) -> PointXYZZ:
     """2-D MSM sharding: points x windows (the reference's
@@ -83,8 +101,9 @@ def msm_sharded_2d(
     chain (removing the serial cross-window Horner), and the per-device
     partial points are tree-added.
 
-    scalars: (Ls, n) plain limbs; window count W = ceil(bits/c) must be
-    divisible by the window-axis size.
+    point_axis=None replicates the points (pure window parallelism,
+    kParallelWindow).  scalars: (Ls, n) plain limbs; window count
+    W = ceil(bits/c) must be divisible by the window-axis size.
     """
     from tachyon_tpu.math.msm import digit_decompose, _seg_scan_combine
 
@@ -96,7 +115,7 @@ def msm_sharded_2d(
     Wk = W // win_dev
     B = 1 << c
     cnd = points.x.ndim
-    coord_in = P(*([None] * (cnd - 1)), point_axis)
+    coord_in = P(*([None] * (cnd - 1)), point_axis)  # point_axis=None: replicate
 
     combine = _seg_scan_combine(curve)
 
@@ -147,6 +166,10 @@ def msm_sharded_2d(
         )
         return jax.tree.map(lambda t: t[..., None], acc)
 
+    part_axes = tuple(a for a in (point_axis, window_axis) if a is not None)
+    num_partials = 1
+    for a in part_axes:
+        num_partials *= int(mesh.shape[a])
     partials = shard_map(
         local,
         mesh=mesh,
@@ -154,6 +177,6 @@ def msm_sharded_2d(
             AffinePoint(coord_in, coord_in, P(point_axis)),
             P(None, point_axis),
         ),
-        out_specs=PointXYZZ(*([P(*([None] * (cnd - 1)), (point_axis, window_axis))] * 4)),
+        out_specs=PointXYZZ(*([P(*([None] * (cnd - 1)), part_axes)] * 4)),
     )(points, scalars)
-    return _tree_reduce(curve, partials, n_dev)
+    return _tree_reduce(curve, partials, num_partials)

@@ -29,17 +29,17 @@ from tachyon_tpu.zk.air import expressions as ax
 
 
 class STARKProof(NamedTuple):
-    trace_roots: tuple  # (L, DIGEST) per height group (single here)
-    quotient_roots: tuple
+    trace_root: jnp.ndarray  # (L, DIGEST) MMCS commitment
+    quotient_root: jnp.ndarray
+    opened_values: tuple  # [round][matrix][point]: (D, L, C) claimed evals
     fri: FRIProof
     n: int  # trace height
 
 
-def _observe_roots(F, challenger, roots):
-    for root in roots:
-        root = np.asarray(root)  # one device->host transfer per root
-        for i in range(merkle.DIGEST):
-            challenger.observe(int(F.decode(root[:, i])))
+def _observe_root(F, challenger, root):
+    root = np.asarray(root)  # one device->host transfer per root
+    for i in range(merkle.DIGEST):
+        challenger.observe(int(F.decode(root[:, i])))
 
 
 class UniStark:
@@ -80,7 +80,7 @@ class UniStark:
 
         trace = F.encode(np.asarray(trace_ints, dtype=object))  # (L, n, W)
         trace_data = pcs.commit([trace])
-        _observe_roots(F, challenger, trace_data.roots())
+        _observe_root(F, challenger, trace_data.root())
         alpha_int = challenger.sample_ext(D)
         alpha = ext.encode([np.array(c, dtype=object) for c in alpha_int])
 
@@ -149,17 +149,19 @@ class UniStark:
                 cols.append(dom.fft(chunk[d]))  # (L, n) evals over H_n
         q_mat = jnp.stack(cols, axis=-1)  # (L, n, num_chunks*D)
         q_data = pcs.commit([q_mat])
-        _observe_roots(F, challenger, q_data.roots())
+        _observe_root(F, challenger, q_data.root())
 
         zeta = challenger.sample_ext(D)
         zeta_next = hx.mul(zeta, omega)
-        fri = pcs.open_rounds(
-            [(trace_data, [[zeta, zeta_next]]), (q_data, [[zeta]])],
+        opened_values, fri = pcs.create_opening_proof(
+            [trace_data, q_data],
+            [[[zeta, zeta_next]], [[zeta]]],
             challenger,
         )
         return STARKProof(
-            trace_roots=trace_data.roots(),
-            quotient_roots=q_data.roots(),
+            trace_root=trace_data.root(),
+            quotient_root=q_data.root(),
+            opened_values=opened_values,
             fri=fri,
             n=n,
         )
@@ -184,27 +186,29 @@ class UniStark:
         challenger.observe(n)
         for v in public_values:
             challenger.observe(int(v) % p)
-        _observe_roots(F, challenger, proof.trace_roots)
+        _observe_root(F, challenger, proof.trace_root)
         alpha = challenger.sample_ext(D)
-        _observe_roots(F, challenger, proof.quotient_roots)
+        _observe_root(F, challenger, proof.quotient_root)
         zeta = challenger.sample_ext(D)
         zeta_next = hx.mul(zeta, omega)
 
-        trace_dims = [(n << blow, width)]
-        q_dims = [(n << blow, num_chunks * D)]
-        rounds = [
-            (proof.trace_roots, trace_dims, [[zeta, zeta_next]]),
-            (proof.quotient_roots, q_dims, [[zeta]]),
-        ]
-        if not pcs.verify_rounds(rounds, proof.fri, challenger):
+        points = [[[zeta, zeta_next]], [[zeta]]]
+        if not pcs.verify_opening_proof(
+            [proof.trace_root, proof.quotient_root],
+            [[(n, width)], [(n, num_chunks * D)]],
+            points,
+            proof.opened_values,
+            proof.fri,
+            challenger,
+        ):
             return False
 
         def decode_ext_row(ov, c):  # ov: (D, L, C), host numpy
             return [int(F.decode(ov[d, :, c])) for d in range(D)]
 
-        ov_local = np.asarray(proof.fri.opened_values[0][0][0])
-        ov_next = np.asarray(proof.fri.opened_values[0][0][1])
-        ov_q = np.asarray(proof.fri.opened_values[1][0][0])
+        ov_local = np.asarray(proof.opened_values[0][0][0])
+        ov_next = np.asarray(proof.opened_values[0][0][1])
+        ov_q = np.asarray(proof.opened_values[1][0][0])
         local = [decode_ext_row(ov_local, c) for c in range(width)]
         nxt = [decode_ext_row(ov_next, c) for c in range(width)]
         q_open = [decode_ext_row(ov_q, c) for c in range(num_chunks * D)]

@@ -66,3 +66,25 @@ def test_sharded_msm_2d_matches_local(rng):
     local = curve.to_affine(msm(curve, points, sl, c=4))
     shard = curve.to_affine(msm_sharded_2d(curve, mesh2d, points, sl, c=4))
     assert bool(np.asarray(curve.eq_affine(local, shard)).all())
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("TACHYON_SLOW_TESTS"),
+    reason="window-mesh MSM compile is slow on the 1-core host; "
+    "set TACHYON_SLOW_TESTS=1",
+)
+def test_sharded_msm_windows_matches_local(rng):
+    """pure window-parallel mesh (reference kParallelWindow analog)."""
+    from tests.test_msm import build_test_set
+    from jax.sharding import Mesh
+    from tachyon_tpu.parallel.msm_sharded import msm_sharded_windows
+
+    devs = np.array(jax.devices("cpu")[:4]).reshape(4)
+    meshw = Mesh(devs, ("win",))
+    curve = curves.bn254_g1()
+    points, sl, pts, scalars = build_test_set(curve, 16, rng)
+    local = curve.to_affine(msm(curve, points, sl, c=4))
+    shard = curve.to_affine(
+        msm_sharded_windows(curve, meshw, points, sl, c=4)
+    )
+    assert bool(np.asarray(curve.eq_affine(local, shard)).all())
