@@ -63,6 +63,9 @@ def msm_g1(bases: bytes, scalars: bytes, n: int) -> bytes:
          for v in _bytes_to_ints(scalars, n)],
         axis=1,
     )
+    from tachyon_tpu.io.replay import dump_msm
+
+    dump_msm("bn254_g1", pts.x, pts.y, pts.inf, sc)
     acc = g1.to_affine(msm(g1, pts, jnp.asarray(sc)))
     if bool(np.asarray(acc.inf)):
         return b"\x00" * 64
@@ -145,6 +148,9 @@ def halo2_prove(circuit_json: str) -> str:
     from tachyon_tpu.zk.plonk.constraint_system import ColumnRef
     from tachyon_tpu.zk.plonk.layout import SimpleFloorPlanner
 
+    from tachyon_tpu.io.replay import dump_halo2
+
+    dump_halo2(circuit_json)
     spec = _json.loads(circuit_json)
 
     def build_expr(e, cols, sels):

@@ -58,12 +58,36 @@ def replay_msm(fn: str):
     print("y =", int(Fq.decode(aff.y)) if not bool(np.asarray(aff.inf)) else None)
 
 
+def dump_halo2(circuit_json: str):
+    """Write one halo2 C-ABI prove invocation if TACHYON_HALO2_DUMP_PATH is
+    set (the prover_replay / TACHYON_PCS_PARAMS_LOG_PATH analog)."""
+    path = os.environ.get("TACHYON_HALO2_DUMP_PATH")
+    if not path:
+        return None
+    os.makedirs(path, exist_ok=True)
+    fn = os.path.join(path, f"halo2_{_counter[0]:03d}.json")
+    _counter[0] += 1
+    with open(fn, "w") as f:
+        f.write(circuit_json)
+    return fn
+
+
+def replay_halo2(fn: str):
+    """Re-run a dumped halo2 prove end-to-end (prove + self-verify)."""
+    from tachyon_tpu.c.bridge import halo2_prove
+
+    with open(fn) as f:
+        hexproof = halo2_prove(f.read())
+    print(f"proof: {len(hexproof) // 2} bytes (verified)")
+    print(hexproof)
+
+
 def main(argv=None):
     argv = argv or sys.argv[1:]
-    if len(argv) != 2 or argv[0] != "msm":
-        print("usage: python -m tachyon_tpu.io.replay msm <dump.npz>")
+    if len(argv) != 2 or argv[0] not in ("msm", "halo2"):
+        print("usage: python -m tachyon_tpu.io.replay {msm|halo2} <dump>")
         return 1
-    replay_msm(argv[1])
+    (replay_msm if argv[0] == "msm" else replay_halo2)(argv[1])
     return 0
 
 

@@ -16,6 +16,8 @@ CPU↔GPU correctness-test pattern (SURVEY §4.3).
 """
 from __future__ import annotations
 
+from tachyon_tpu.base.log import vlog
+
 import dataclasses
 
 from tachyon_tpu.crypto import rng as rng_mod
@@ -550,6 +552,7 @@ class Halo2Prover:
                     challenges[i] = w.squeeze_challenge()
 
         theta = w.squeeze_challenge()
+        vlog(2, "Halo2 prover theta: %s", hex(theta))
 
         chunks = cs.permutation_chunks()
         col_tables = []
@@ -688,6 +691,7 @@ class Halo2Prover:
 
         beta = w.squeeze_challenge()
         gamma = w.squeeze_challenge()
+        vlog(2, "Halo2 prover beta: %s gamma: %s", hex(beta), hex(gamma))
 
         perm_z_vec = []  # [circuit][chunk] -> evals list
         for ci in range(num_circuits):
@@ -818,6 +822,7 @@ class Halo2Prover:
         w.write_point(random_cm)
 
         y = w.squeeze_challenge()
+        vlog(2, "Halo2 prover y: %s", hex(y))
 
         # to coefficient form
         advice_polys_vec = [
@@ -1052,6 +1057,7 @@ class Halo2Prover:
             h_cms.append(cm)
 
         x = w.squeeze_challenge()
+        vlog(2, "Halo2 prover x: %s", hex(x))
         x_next = x * omega % FR
         x_last = x * pow(omega, (-(t_blind + 1)) % n, FR) % FR
         x_n = pow(x, n, FR)
