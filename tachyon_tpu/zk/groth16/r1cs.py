@@ -85,6 +85,9 @@ def g2_mul(f, p, k):
     return acc
 
 
+# below this the device MSM's compile cost dwarfs the math; host exact path
+MSM_HOST_THRESHOLD = 1024
+
 CURVE_FAMILIES = {
     "bn254": dict(
         g1=curves.bn254_g1, g2=curves.bn254_g2,
@@ -275,13 +278,18 @@ class Groth16:
         self.g2 = CURVE_FAMILIES[params.family]["g2"]()
         self.Fr = self.g1.SF
         self.dom = Radix2Domain(self.Fr, params.n)
-        self._a_pts = _dev_points(self.g1, params.a_query)
-        self._b2_pts = _dev_points(self.g2, params.b2_query)
+        big = len(params.a_query) > MSM_HOST_THRESHOLD
+        self._a_pts = _dev_points(self.g1, params.a_query) if big else None
+        self._b2_pts = _dev_points(self.g2, params.b2_query) if big else None
         self._l_pts = (
-            _dev_points(self.g1, params.l_query) if params.l_query else None
+            _dev_points(self.g1, params.l_query)
+            if params.l_query and len(params.l_query) > MSM_HOST_THRESHOLD
+            else None
         )
         self._h_pts = (
-            _dev_points(self.g1, params.h_query) if params.h_query else None
+            _dev_points(self.g1, params.h_query)
+            if params.h_query and len(params.h_query) > MSM_HOST_THRESHOLD
+            else None
         )
 
     # --- witness map (QAP) ------------------------------------------------
@@ -322,11 +330,22 @@ class Groth16:
             s = secrets.randbelow(rp)
 
         h = self._h_scalars(witness)
-        wl = _scalar_limbs(self.Fr, witness)
         npub1 = 1 + pp.r1cs.num_public
 
-        def msm_out(curve, pts, scalars, g2=False):
-            acc = curve.to_affine(msm(curve, pts, scalars))
+        def msm_out(curve, dev_pts, query, scalar_ints, g2=False):
+            # Below the threshold the device Pippenger/scan graphs cost
+            # minutes of XLA compile for microseconds of math — use the
+            # exact host double-and-add instead (same algorithm-by-size
+            # dispatch as the reference's VariableBaseMSM facade).
+            if len(scalar_ints) <= MSM_HOST_THRESHOLD or dev_pts is None:
+                acc = None
+                add2 = g2_add if g2 else g1_add
+                mul2 = g2_mul if g2 else g1_mul
+                for pt, k in zip(query, scalar_ints):
+                    acc = add2(f, acc, mul2(f, pt, int(k) % self.f.R))
+                return acc
+            acc = curve.to_affine(
+                msm(curve, dev_pts, _scalar_limbs(self.Fr, scalar_ints)))
             if bool(np.asarray(acc.inf)):
                 return None
             if g2:
@@ -335,16 +354,16 @@ class Groth16:
                 return ((int(x[0]), int(x[1])), (int(y[0]), int(y[1])))
             return (int(curve.F.decode(acc.x)), int(curve.F.decode(acc.y)))
 
-        a_acc = msm_out(self.g1, self._a_pts, wl)
-        b2_acc = msm_out(self.g2, self._b2_pts, wl, g2=True)
+        a_acc = msm_out(self.g1, self._a_pts, pp.a_query, witness)
+        b2_acc = msm_out(self.g2, self._b2_pts, pp.b2_query, witness, g2=True)
         priv = witness[npub1:]
         c_l = (
-            msm_out(self.g1, self._l_pts, _scalar_limbs(self.Fr, priv))
+            msm_out(self.g1, self._l_pts, pp.l_query, priv)
             if priv else None
         )
         hq = h[: len(pp.h_query)]
         c_h = (
-            msm_out(self.g1, self._h_pts, _scalar_limbs(self.Fr, hq))
+            msm_out(self.g1, self._h_pts, pp.h_query, hq)
             if hq else None
         )
 
