@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-LOG_N = int(os.environ.get("BENCH_LOG_N", "16"))
+LOG_N = int(os.environ.get("BENCH_LOG_N", "22"))
 # reference i9-13900K seconds (BASELINE.md "BN254 G1 MSM uniform")
 BASELINES = {16: 0.037107, 18: 0.10235, 20: 0.352276, 22: 1.22393}
 # cpu fallback benches the NTT instead: the Pippenger MSM graph takes
@@ -54,15 +54,19 @@ def ntt_bench():
     vals = Fr.encode(np.array(
         [int(v) for v in rng.integers(1, 1 << 62, n)], dtype=object))
     run = jax.jit(dom.fft)
+
+    def _sync(o):
+        np.asarray(jax.tree.leaves(o)[0].ravel()[:1])
+
     t0 = time.time()
     out = run(vals)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
     times = []
     for _ in range(3):
         t0 = time.time()
         out = run(vals)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.time() - t0)
     best = min(times)
     base_s = NTT_BASELINES.get(NTT_LOG_N)
@@ -139,16 +143,22 @@ def main():
     import functools
 
     run = jax.jit(functools.partial(msm, curve, c=None))
+
+    def _sync(o):
+        # block_until_ready returns early under the axon tunnel; a host
+        # fetch of one output leaf is the only reliable completion barrier
+        np.asarray(jax.tree.leaves(o)[0])
+
     t0 = time.time()
     out = run(points, scal)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
 
     times = []
     for _ in range(3):
         t0 = time.time()
         out = run(points, scal)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.time() - t0)
     best = min(times)
 

@@ -22,19 +22,28 @@ def setup_jax():
     return jax
 
 
-def time_fn(fn, *args, iters: int = 3):
-    """(compile_seconds, best_run_seconds)"""
+def _sync(out):
+    """block_until_ready can return before completion under the axon TPU
+    tunnel; fetching (part of) one output leaf to host is the reliable
+    barrier — PJRT literal transfer waits for the producing computation."""
+    import numpy as np
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[:1])
+
+
+def time_fn(fn, *args, iters: int = 3):
+    """(compile_seconds, best_run_seconds)"""
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
     best = float("inf")
     for _ in range(iters):
         t0 = time.time()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.time() - t0)
     return compile_s, best
 

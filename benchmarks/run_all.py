@@ -4,11 +4,17 @@ benchmark/ binaries; see each bench_* module for its baseline source).
     python -m benchmarks.run_all            # default sizes
     BENCH_LOG_N=20 python -m benchmarks.run_all
 """
-from benchmarks import bench_fri, bench_ntt, bench_poseidon2
+from benchmarks import (
+    bench_ec,
+    bench_fri,
+    bench_msm,
+    bench_ntt,
+    bench_poseidon2,
+)
 
 
 def main():
-    for mod in (bench_ntt, bench_poseidon2, bench_fri):
+    for mod in (bench_msm, bench_ec, bench_ntt, bench_poseidon2, bench_fri):
         mod.main()
 
 

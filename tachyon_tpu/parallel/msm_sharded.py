@@ -105,7 +105,9 @@ def msm_sharded_2d(
     kParallelWindow).  scalars: (Ls, n) plain limbs; window count
     W = ceil(bits/c) must be divisible by the window-axis size.
     """
-    from tachyon_tpu.math.msm import digit_decompose, _seg_scan_combine
+    from tachyon_tpu.math.msm import (
+        digit_decompose, _layout_and_blinds, _window_sum,
+    )
 
     n_dev = int(mesh.devices.size)
     win_dev = mesh.shape[window_axis]
@@ -117,35 +119,33 @@ def msm_sharded_2d(
     cnd = points.x.ndim
     coord_in = P(*([None] * (cnd - 1)), point_axis)  # point_axis=None: replicate
 
-    combine = _seg_scan_combine(curve)
-
     def local(pts, scal):
         widx = jax.lax.axis_index(window_axis)
         digits = digit_decompose(scal, total_bits, c)  # (W, n_local)
-        pts_xyzz = curve.to_xyzz(pts)
+        n_local = scal.shape[-1]
+        C, R, (blind1, blind2) = _layout_and_blinds(curve, n_local)
+        n_pad = R * C
+        px, py, pinf = pts.x, pts.y, pts.inf.astype(jnp.uint32)
+        if n_pad != n_local:
+            pad = n_pad - n_local
+            zpad = [(0, 0)] * (px.ndim - 1) + [(0, pad)]
+            px = jnp.pad(px, zpad)
+            py = jnp.pad(py, zpad)
+            pinf = jnp.pad(pinf, [(0, pad)], constant_values=1)
+            digits = jnp.pad(digits, [(0, 0), (0, pad)])
+
+        from tachyon_tpu.math.msm import _pack_points
+
+        packed = (
+            _pack_points(px, py, pinf)
+            if curve._pallas_ok and curve.F.L % 2 == 0 else None
+        )
 
         def window_body(_, dw):
-            order = jnp.argsort(dw)
-            d_s = dw[order]
-            p_s = jax.tree.map(
-                lambda t: jnp.take(t, order, axis=t.ndim - 1), pts_xyzz
+            return None, _window_sum(
+                curve, px, py, pinf, dw, C, R, B, blind1, blind2,
+                packed=packed,
             )
-            _, scanned = jax.lax.associative_scan(
-                combine, (d_s[None], p_s), axis=p_s.x.ndim - 1
-            )
-            nxt = jnp.concatenate([d_s[1:], jnp.full((1,), B, d_s.dtype)])
-            is_end = d_s != nxt
-            idx = jnp.where(is_end, d_s, jnp.uint32(B)).astype(jnp.int32)
-            zero_b = curve.infinity_xyzz((B + 1,))
-            buckets = jax.tree.map(
-                lambda z, v: z.at[..., idx].set(v, mode="drop"), zero_b, scanned
-            )
-            buckets = jax.tree.map(lambda t: t[..., 1:B], buckets)
-            suffix = jax.lax.associative_scan(
-                curve.add_xyzz, buckets, axis=buckets.x.ndim - 1, reverse=True
-            )
-            win = _tree_reduce(curve, suffix, B - 1)
-            return None, win
 
         # this device's Wk windows: rows widx*Wk .. widx*Wk+Wk-1
         my = jax.lax.dynamic_slice_in_dim(digits, widx * Wk, Wk, axis=0)

@@ -48,11 +48,22 @@ def test_sharded_msm_matches_local(mesh, rng):
     assert bool(np.asarray(curve.eq_affine(local, shard)).all())
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("TACHYON_SLOW_TESTS"),
-    reason="2-D mesh MSM compile is ~1h on the 1-core host; "
-    "set TACHYON_SLOW_TESTS=1",
-)
+@pytest.mark.slow
+def test_sharded_msm_above_naive_threshold(mesh, rng):
+    """per-shard n exceeds MSM_NAIVE_THRESHOLD so every chip runs the real
+    suffix-sweep Pippenger under shard_map, bit-identical to one device."""
+    from tests.test_msm import build_test_set
+    from tachyon_tpu.math.msm import MSM_NAIVE_THRESHOLD
+
+    curve = curves.bn254_g1()
+    n = 8 * 2 * MSM_NAIVE_THRESHOLD  # 256 points per shard on 8 devices
+    points, sl, pts, scalars = build_test_set(curve, n, rng)
+    local = curve.to_affine(msm(curve, points, sl, c=10))
+    shard = curve.to_affine(msm_sharded(curve, mesh, points, sl, c=10))
+    assert bool(np.asarray(curve.eq_affine(local, shard)).all())
+
+
+@pytest.mark.slow
 def test_sharded_msm_2d_matches_local(rng):
     """points x windows 2-D mesh (reference kParallelWindowAndTerm analog)."""
     from tests.test_msm import build_test_set
@@ -68,11 +79,7 @@ def test_sharded_msm_2d_matches_local(rng):
     assert bool(np.asarray(curve.eq_affine(local, shard)).all())
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("TACHYON_SLOW_TESTS"),
-    reason="window-mesh MSM compile is slow on the 1-core host; "
-    "set TACHYON_SLOW_TESTS=1",
-)
+@pytest.mark.slow
 def test_sharded_msm_windows_matches_local(rng):
     """pure window-parallel mesh (reference kParallelWindow analog)."""
     from tests.test_msm import build_test_set
