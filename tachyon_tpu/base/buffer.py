@@ -101,11 +101,13 @@ class ReadBuffer:
             raise ValueError("non-canonical field element")
         return v
 
-    def read_vec(self, read_one: Callable) -> list:
+    def read_vec(self, read_one: Callable, min_size: int = 1) -> list:
+        """min_size: smallest number of bytes read_one can legally consume;
+        a hostile count exceeding remaining/min_size is rejected before any
+        element is read (and before allocating the result list)."""
         n = self.read_u64()
-        # 16 bytes is the smallest legal element (u64 len + payload floor);
-        # reject absurd counts before allocating
-        if n > len(self._d):
+        remaining = len(self._d) - self._off
+        if n > remaining // max(min_size, 1):
             raise ValueError("vec count exceeds buffer")
         return [read_one(self) for _ in range(n)]
 
@@ -116,10 +118,12 @@ class ReadBuffer:
 # -- point codecs (uncompressed; infinity = all-zero) -----------------------
 
 def write_g1(buf: Buffer, pt, p: int) -> None:
+    # no silent % p: write_field's canonicality check raises on bad input,
+    # matching the read side's rejection of non-canonical encodings
     if pt is None:
         buf.write_field(0, p).write_field(0, p)
     else:
-        buf.write_field(pt[0] % p, p).write_field(pt[1] % p, p)
+        buf.write_field(pt[0], p).write_field(pt[1], p)
 
 
 def read_g1(buf: ReadBuffer, p: int):
@@ -134,7 +138,7 @@ def write_g2(buf: Buffer, pt, p: int) -> None:
     else:
         (x0, x1), (y0, y1) = pt
         for c in (x0, x1, y0, y1):
-            buf.write_field(c % p, p)
+            buf.write_field(c, p)
 
 
 def read_g2(buf: ReadBuffer, p: int):

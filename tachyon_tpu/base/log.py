@@ -15,12 +15,36 @@ import os
 
 logger = logging.getLogger("tachyon_tpu")
 
-_vlog_level = int(os.environ.get("TACHYON_VLOG", "0"))
+_vlog_level = 0
+_handler: logging.Handler | None = None
+
+
+def _configure(level: int) -> None:
+    """Mirror glog: VLOG goes to stderr whenever verbosity > 0.  Without
+    this the 'tachyon_tpu' logger has no handler and Python's last-resort
+    WARNING handler silently drops INFO records."""
+    global _handler
+    if level > 0:
+        if _handler is None:
+            _handler = logging.StreamHandler()  # stderr
+            _handler.setFormatter(
+                logging.Formatter("I %(asctime)s %(name)s] %(message)s")
+            )
+            logger.addHandler(_handler)
+        if logger.level == logging.NOTSET or logger.level > logging.INFO:
+            logger.setLevel(logging.INFO)
+    elif _handler is not None:
+        logger.removeHandler(_handler)
+        _handler = None
 
 
 def set_vlog_level(level: int) -> None:
     global _vlog_level
     _vlog_level = int(level)
+    _configure(_vlog_level)
+
+
+set_vlog_level(int(os.environ.get("TACHYON_VLOG", "0")))
 
 
 def vlog_is_on(level: int) -> bool:

@@ -333,11 +333,17 @@ class Groth16:
         npub1 = 1 + pp.r1cs.num_public
 
         def msm_out(curve, dev_pts, query, scalar_ints, g2=False):
+            # host/device dispatch and the __init__ device-point upload both
+            # key off the same quantity (query length); scalar count must
+            # match or the zip below would silently truncate
+            assert len(query) == len(scalar_ints), (
+                f"msm_out: {len(query)} points vs {len(scalar_ints)} scalars"
+            )
             # Below the threshold the device Pippenger/scan graphs cost
             # minutes of XLA compile for microseconds of math — use the
             # exact host double-and-add instead (same algorithm-by-size
             # dispatch as the reference's VariableBaseMSM facade).
-            if len(scalar_ints) <= MSM_HOST_THRESHOLD or dev_pts is None:
+            if len(query) <= MSM_HOST_THRESHOLD or dev_pts is None:
                 acc = None
                 add2 = g2_add if g2 else g1_add
                 mul2 = g2_mul if g2 else g1_mul

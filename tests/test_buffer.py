@@ -95,3 +95,30 @@ def test_log_helpers():
             raise RuntimeError("should have raised")
         except log.CheckError:
             pass
+
+
+def test_read_vec_hostile_count():
+    """regression: count guard must bound by remaining bytes / min_size
+    before any element reads happen."""
+    import pytest
+    from tachyon_tpu.base.buffer import Buffer, ReadBuffer
+
+    buf = Buffer()
+    buf.write_u64((1 << 60))  # absurd count, nearly empty payload
+    buf.write_u32(7)
+    rd = ReadBuffer(buf.getvalue())
+    with pytest.raises(ValueError):
+        rd.read_vec(lambda b: b.read_u32(), min_size=4)
+
+
+def test_write_g1_g2_reject_non_canonical():
+    """regression: serialization must raise on out-of-range coordinates
+    instead of silently wrapping mod p (read side rejects them too)."""
+    import pytest
+    from tachyon_tpu.base.buffer import Buffer, write_g1, write_g2
+
+    P = 0x30644E72E131A029B85045B68181585D97816A916871CA8D3C208C16D87CFD47
+    with pytest.raises(ValueError):
+        write_g1(Buffer(), (P + 1, 2), P)
+    with pytest.raises(ValueError):
+        write_g2(Buffer(), ((0, P), (1, 2)), P)
