@@ -286,10 +286,70 @@ def _poseidon_transcript_perm(scalar_spec: FieldSpec):
     )
 
 
+class SnarkVerifierPoseidonTranscript:
+    """snark-verifier poseidon transcript core (reference:
+    zk/plonk/halo2/snark_verifier_poseidon_transcript.h — Params5 = Fr,
+    rate 4, alpha 5, 8 full / 60 partial rounds, PoseidonConfig::Create(0);
+    scroll-tech/snark-verifier absorb-buffered flavor: state[0] seeded with
+    2^64, updates buffer scalars, squeeze processes rate-4 chunks adding at
+    state[j+1] with a 1 added at state[len+1] for partial chunks, and one
+    extra 1-padded permute when the buffer is chunk-aligned (incl. empty);
+    returns state[1])."""
+
+    def __init__(self, scalar_spec: FieldSpec, base_spec: FieldSpec):
+        self.r = scalar_spec.p
+        self.q = base_spec.p
+        self.n_base_bytes = (base_spec.bits + 63) // 64 * 8
+        self.n_scalar_bytes = (scalar_spec.bits + 63) // 64 * 8
+        self._perm = _sv_poseidon_perm(scalar_spec)
+        self.rate = 4
+        self.width = 5
+        self.state = [0] * self.width
+        self.state[0] = (1 << 64) % self.r
+        self.absorbing: list[int] = []
+
+    def common_point(self, point: tuple | None):
+        x, y = (0, 0) if point is None else point
+        # BaseToScalar: LE bytes of the base coord reduced into Fr
+        self.absorbing += [int(x) % self.r, int(y) % self.r]
+
+    def common_scalar(self, scalar: int):
+        self.absorbing.append(int(scalar) % self.r)
+
+    def squeeze_challenge(self) -> int:
+        buf, rate = self.absorbing, self.rate
+        num_chunks = (len(buf) + rate - 1) // rate
+        for i in range(num_chunks):
+            chunk = buf[i * rate: min((i + 1) * rate, len(buf))]
+            for j, v in enumerate(chunk):
+                self.state[j + 1] = (self.state[j + 1] + v) % self.r
+            if len(chunk) + 1 < self.width:
+                self.state[len(chunk) + 1] = \
+                    (self.state[len(chunk) + 1] + 1) % self.r
+            self.state = self._perm.permute_host(self.state)
+        if len(buf) == num_chunks * rate:
+            self.state[1] = (self.state[1] + 1) % self.r
+            self.state = self._perm.permute_host(self.state)
+        self.absorbing = []
+        return self.state[1]
+
+
+@_functools.lru_cache(maxsize=None)
+def _sv_poseidon_perm(scalar_spec: FieldSpec):
+    from tachyon_tpu.crypto.poseidon import Poseidon
+    from tachyon_tpu.math.field import PrimeField
+
+    return Poseidon(
+        PrimeField(scalar_spec), rate=4, alpha=5,
+        full_rounds=8, partial_rounds=60,
+    )
+
+
 _TRANSCRIPT_CORES = {
     "blake2b": Blake2bTranscript,
     "sha256": Sha256Transcript,
     "poseidon": PoseidonTranscript,
+    "snark_verifier": SnarkVerifierPoseidonTranscript,
 }
 
 

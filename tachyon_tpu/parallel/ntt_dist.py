@@ -110,3 +110,65 @@ class DistributedNTT:
 
     def ifft(self, evals: jnp.ndarray) -> jnp.ndarray:
         return self._transform(evals, inverse=True)
+
+
+class DistributedCosetLDE:
+    """Multi-chip CosetLDEBatch / FFTBatch (reference semantics:
+    radix2_evaluation_domain.h:100-145 FFTBatch/CosetLDEBatch — many
+    polynomials at once; the reference parallelizes row chunks with OpenMP
+    within one node, here the batch axis is sharded over the mesh and each
+    chip runs the full small-domain iFFT + zero-pad + big-domain coset FFT
+    on its column shard).
+
+    The batch (column) axis is embarrassingly parallel, so this scales the
+    dominant FRI-commit workload (LDE of 10s-100s of trace columns) with
+    zero collectives beyond the initial shard; bit-exact vs the single-chip
+    math.ntt.coset_lde_batch by construction.
+    """
+
+    def __init__(self, F: PrimeField, n: int, log_blowup: int,
+                 shift_int: int, mesh: Mesh, axis: str = "dp"):
+        self.F = F
+        self.n = n
+        self.log_blowup = log_blowup
+        self.shift_int = shift_int
+        self.mesh = mesh
+        self.axis = axis
+        self.dom = Radix2Domain(F, n)
+
+    def __call__(self, evals: jnp.ndarray) -> jnp.ndarray:
+        """evals: (L, n, batch) on H -> (L, n<<log_blowup, batch) on
+        shift*H' with the batch axis sharded over the mesh."""
+        from tachyon_tpu.math.ntt import coset_lde_batch
+
+        ax = self.axis
+
+        def local(ev):
+            return coset_lde_batch(self.dom, ev, self.log_blowup,
+                                   self.shift_int)
+
+        return shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(None, None, ax),),
+            out_specs=P(None, None, ax),
+        )(evals)
+
+
+def fft_batch_dist(F: PrimeField, mesh: Mesh, evals: jnp.ndarray,
+                   inverse: bool = False, axis: str = "dp") -> jnp.ndarray:
+    """Distributed FFTBatch (reference: radix2_evaluation_domain.h:100
+    FFTBatch): (L, n, batch) with batch sharded; per-chip full-length
+    radix-2 transforms along axis 1."""
+    n = evals.shape[1]
+    dom = Radix2Domain(F, n)
+
+    def local(ev):
+        return dom._transform(ev, inverse)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, None, axis),),
+        out_specs=P(None, None, axis),
+    )(evals)

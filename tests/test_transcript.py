@@ -55,3 +55,32 @@ def test_writer_reader_roundtrip(kind):
     assert r.squeeze_challenge() == c1
     assert r.read_scalar() == c1
     assert r.squeeze_challenge() == c2
+
+
+def test_snark_verifier_poseidon_golden():
+    """reference: snark_verifier_poseidon_transcript_unittest.cc
+    SqueezeChallenge — absorb the generator TWICE, squeeze."""
+    w = make_writer("snark_verifier", presets.BN254_FR, presets.BN254_FQ)
+    w.write_point(GEN)
+    w.write_point(GEN)
+    expected = int.from_bytes(bytes([
+        78, 246, 205, 146, 54, 16, 105, 106, 240, 24, 115, 146, 126, 203,
+        44, 166, 34, 117, 244, 97, 33, 69, 158, 167, 254, 239, 174, 66,
+        133, 142, 174, 27,
+    ]), "little")
+    assert w.squeeze_challenge() == expected
+
+
+def test_snark_verifier_poseidon_roundtrip():
+    w = make_writer("snark_verifier", presets.BN254_FR, presets.BN254_FQ)
+    w.write_point(GEN)
+    w.write_scalar(987654321)
+    c1 = w.squeeze_challenge()
+    c2 = w.squeeze_challenge()  # empty-buffer squeeze path
+
+    r = make_reader("snark_verifier", bytes(w.proof),
+                    presets.BN254_FR, presets.BN254_FQ)
+    assert r.read_point() == GEN
+    assert r.read_scalar() == 987654321
+    assert r.squeeze_challenge() == c1
+    assert r.squeeze_challenge() == c2
