@@ -401,6 +401,221 @@ def _coset_evals(coeffs: list, shift: int, omega: int, n: int) -> list:
 
 
 
+
+
+def build_h_coeffs_host(be, pk, *, challenges, theta, beta, gamma, y,
+                        t_blind, chunks, log_derivative,
+                        advice_polys_vec, instance_polys_vec,
+                        perm_zp_vec, lookup_zp_vec,
+                        lookup_permuted_polys_vec, lookup_mp_vec,
+                        shuffle_zp_vec):
+    """h(X) numerator/quotient over the extended coset, exact-int oracle
+    (reference: circuit_polynomial_builder.h Scroll by-parts; identity
+    order per circuit: gates, then permutation parts 1-3
+    (permutation_evaluator.h:53-108), lookups, shuffles).  `be` supplies
+    coset_evals (host or device); the row loop itself is host-exact python
+    ints — the DeviceBackend overrides build_h_coeffs entirely with the
+    vectorized evaluator (halo2_device.py)."""
+    cs, n, omega = pk.cs, pk.n, pk.omega
+    num_circuits = len(advice_polys_vec)
+    extended_k = pk.extended_k
+    ext_n = 1 << extended_k
+    num_parts = ext_n // n
+    omega_ext = halo2_omega(extended_k)
+    zeta = halo2_zeta(pk.vendor)
+    delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
+
+    l_first_coeffs, l_last_coeffs = pk.l_first, pk.l_last
+    l_active_coeffs = pk.l_active_row
+    sigma_polys = pk.permutation_polys
+
+    value_parts = []
+    for part in range(num_parts):
+        shift = zeta * pow(omega_ext, part, FR) % FR
+        fixed_c = [
+            be.coset_evals(po, shift) for po in pk.fixed_polys
+        ]
+        lf = be.coset_evals(l_first_coeffs, shift)
+        ll = be.coset_evals(l_last_coeffs, shift)
+        la = be.coset_evals(l_active_coeffs, shift)
+        sig_c = [be.coset_evals(po, shift) for po in sigma_polys]
+        acc = [0] * n
+        for ci in range(num_circuits):
+            adv_c = [
+                be.coset_evals(po, shift)
+                for po in advice_polys_vec[ci]
+            ]
+            inst_c = [
+                be.coset_evals(po, shift)
+                for po in instance_polys_vec[ci]
+            ]
+            z_c = [
+                be.coset_evals(po, shift)
+                for po in perm_zp_vec[ci]
+            ]
+            lk_z_c = [
+                be.coset_evals(po, shift)
+                for po in lookup_zp_vec[ci]
+            ]
+            lk_ap_c = [
+                be.coset_evals(pa, shift)
+                for pa, _ps in lookup_permuted_polys_vec[ci]
+            ]
+            lk_sp_c = [
+                be.coset_evals(ps, shift)
+                for _pa, ps in lookup_permuted_polys_vec[ci]
+            ]
+            lk_m_c = [
+                be.coset_evals(mp, shift)
+                for mp in lookup_mp_vec[ci]
+            ]
+            sh_z_c = [
+                be.coset_evals(po, shift)
+                for po in shuffle_zp_vec[ci]
+            ]
+            for idx in range(n):
+                def rot_idx(rot, idx=idx):
+                    return (idx + rot) % n
+
+                v = acc[idx]
+                for g in cs.gates:
+                    for poly in g.polys:
+                        gv = _eval_expr(poly, fixed_c, adv_c, inst_c,
+                                        idx, rot_idx,
+                                        challenges=challenges)
+                        v = (v * y + gv) % FR
+                if z_c:
+                    # part 1: l_first * (1 - z_0); l_last * (z_l^2 - z_l)
+                    v = (v * y + (1 - z_c[0][idx]) * lf[idx]) % FR
+                    zl = z_c[-1][idx]
+                    v = (v * y + ll[idx] * (zl * zl - zl)) % FR
+                    # part 2: stitches
+                    r_last = (idx - (t_blind + 1)) % n
+                    for jj in range(1, len(z_c)):
+                        v = (v * y + lf[idx]
+                             * (z_c[jj][idx] - z_c[jj - 1][r_last])) % FR
+                    # part 3: transitions; delta term multiplies the
+                    # coset point itself: beta * delta^j * X
+                    # (permutation_evaluator.h:49-50,84 — delta_start =
+                    # beta * zeta, beta_term = w_ext^part * omega^row)
+                    x_coset = shift * pow(omega, idx, FR) % FR
+                    current_delta = beta * x_coset % FR
+                    r_next = (idx + 1) % n
+                    jcol = 0
+                    for jj, chunk in enumerate(chunks):
+                        left = z_c[jj][r_next]
+                        right = z_c[jj][idx]
+                        for cidx, col in enumerate(chunk):
+                            cv = {"fixed": fixed_c, "advice": adv_c,
+                                  "instance": inst_c}[col.kind][col.index][idx]
+                            left = left * (
+                                (cv + beta * sig_c[jcol + cidx][idx]
+                                 + gamma) % FR) % FR
+                            right = right * (
+                                (cv + current_delta + gamma) % FR) % FR
+                            current_delta = current_delta * delta % FR
+                        jcol += len(chunk)
+                        v = (v * y + (left - right) * la[idx]) % FR
+                # lookup identities (reference:
+                # lookup/halo2/evaluator.h:92-127 — five per lookup;
+                # log_derivative_halo2/evaluator.h:120-177 — three)
+                for li in range(len(cs.lookups)):
+                    lk = cs.lookups[li]
+
+                    def rot_idx(rot, idx=idx):
+                        return (idx + rot) % n
+
+                    def comp_at(exprs):
+                        acc2 = 0
+                        for e in exprs:
+                            acc2 = (acc2 * theta + _eval_expr(
+                                e, fixed_c, adv_c, inst_c, idx,
+                                rot_idx, challenges=challenges)) % FR
+                        return acc2
+
+                    zv = lk_z_c[li][idx]
+                    z_next = lk_z_c[li][(idx + 1) % n]
+                    if log_derivative:
+                        phis = [(comp_at(inputs) + beta) % FR
+                                for inputs in lk.inputs_list]
+                        tau = (comp_at(lk.table_exprs) + beta) % FR
+                        prod = 1
+                        for p_v in phis:
+                            prod = prod * p_v % FR
+                        lhs = tau * prod % FR * ((z_next - zv) % FR) % FR
+                        excl = 0
+                        for i2 in range(len(phis)):
+                            t2 = 1
+                            for j2, p_v in enumerate(phis):
+                                if j2 != i2:
+                                    t2 = t2 * p_v % FR
+                            excl = (excl + t2) % FR
+                        rhs = (tau * excl - prod * lk_m_c[li][idx]) % FR
+                        v = (v * y + lf[idx] * zv) % FR
+                        v = (v * y + ll[idx] * zv) % FR
+                        v = (v * y + (lhs - rhs) * la[idx]) % FR
+                        continue
+                    a_comp = comp_at(lk.input_exprs)
+                    s_comp = comp_at(lk.table_exprs)
+                    av = lk_ap_c[li][idx]
+                    a_prev = lk_ap_c[li][(idx - 1) % n]
+                    sv = lk_sp_c[li][idx]
+                    a_minus_s = (av - sv) % FR
+                    v = (v * y + lf[idx] * (1 - zv)) % FR
+                    v = (v * y + ll[idx] * (zv * zv - zv)) % FR
+                    v = (v * y + la[idx] * (
+                        z_next * ((av + beta) % FR) % FR
+                        * ((sv + gamma) % FR)
+                        - zv * ((a_comp + beta) % FR) % FR
+                        * ((s_comp + gamma) % FR))) % FR
+                    v = (v * y + lf[idx] * a_minus_s) % FR
+                    v = (v * y + la[idx] * a_minus_s
+                         * ((av - a_prev) % FR)) % FR
+                # shuffle identities (reference:
+                # shuffle/evaluator.h:71-130 — three per shuffle)
+                for si, sh in enumerate(cs.shuffles):
+                    def rot_idx(rot, idx=idx):
+                        return (idx + rot) % n
+
+                    def comp_at2(exprs):
+                        acc2 = 0
+                        for e in exprs:
+                            acc2 = (acc2 * theta + _eval_expr(
+                                e, fixed_c, adv_c, inst_c, idx,
+                                rot_idx, challenges=challenges)) % FR
+                        return acc2
+
+                    zv = sh_z_c[si][idx]
+                    z_next = sh_z_c[si][(idx + 1) % n]
+                    a_comp = comp_at2(sh.input_exprs)
+                    s_comp = comp_at2(sh.shuffle_exprs)
+                    v = (v * y + lf[idx] * (1 - zv)) % FR
+                    v = (v * y + ll[idx] * (zv * zv - zv)) % FR
+                    v = (v * y + la[idx] * (
+                        z_next * ((s_comp + gamma) % FR)
+                        - zv * ((a_comp + gamma) % FR))) % FR
+                acc[idx] = v
+        # divide by t(X) = X^n - 1 on this part's coset
+        t_eval = (pow(shift, n, FR) - 1) % FR
+        t_inv = pow(t_eval, FR - 2, FR)
+        value_parts.append([vv * t_inv % FR for vv in acc])
+
+    # reassemble extended evals: ext point e = zeta * w_ext^(part + idx
+    # * num_parts) -> h coeffs via extended ifft + zeta unscale
+    h_ext = [0] * ext_n
+    for part in range(num_parts):
+        for idx in range(n):
+            h_ext[part + idx * num_parts] = value_parts[part][idx]
+    h_coeffs_scaled = host_ifft(h_ext, omega_ext)
+    zeta_inv = pow(zeta, FR - 2, FR)
+    s = 1
+    h_coeffs = []
+    for j in range(ext_n):
+        h_coeffs.append(h_coeffs_scaled[j] * s % FR)
+        s = s * zeta_inv % FR
+    return h_coeffs
+
+
 class HostBackend:
     """Exact-int primitive backend for the prover (the oracle).
 
@@ -423,6 +638,9 @@ class HostBackend:
 
     def coset_evals(self, coeffs, shift):
         return _coset_evals(coeffs, shift, self.pk.omega, self.pk.n)
+
+    def build_h_coeffs(self, **kw):
+        return build_h_coeffs_host(self, self.pk, **kw)
 
 
 @dataclasses.dataclass
@@ -846,204 +1064,21 @@ class Halo2Prover:
             [self.be.ifft(z) for z in zs] for zs in shuffle_z_vec
         ]
 
-        # --- h(X) (reference: circuit_polynomial_builder.h Scroll by-parts;
-        # identity order per circuit: gates, then permutation parts 1-3
-        # (permutation_evaluator.h:53-108), lookups, shuffles) -------------
-        extended_k = pk.extended_k
-        ext_n = 1 << extended_k
-        num_parts = ext_n // n
-        omega_ext = halo2_omega(extended_k)
-        zeta = halo2_zeta(pk.vendor)
-        delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
-
-        l_first_coeffs, l_last_coeffs = pk.l_first, pk.l_last
-        l_active_coeffs = pk.l_active_row
         sigma_polys = pk.permutation_polys
+        # --- h(X): delegated to the backend (HostBackend = exact-int
+        # oracle below; DeviceBackend = vectorized evaluator over the
+        # extended coset, the reference GraphEvaluator's analog) ----------
+        h_coeffs = self.be.build_h_coeffs(
+            challenges=challenges, theta=theta, beta=beta, gamma=gamma,
+            y=y, t_blind=t_blind, chunks=chunks,
+            log_derivative=log_derivative,
+            advice_polys_vec=advice_polys_vec,
+            instance_polys_vec=instance_polys_vec,
+            perm_zp_vec=perm_zp_vec, lookup_zp_vec=lookup_zp_vec,
+            lookup_permuted_polys_vec=lookup_permuted_polys_vec,
+            lookup_mp_vec=lookup_mp_vec, shuffle_zp_vec=shuffle_zp_vec,
+        )
 
-        value_parts = []
-        for part in range(num_parts):
-            shift = zeta * pow(omega_ext, part, FR) % FR
-            fixed_c = [
-                self.be.coset_evals(po, shift) for po in pk.fixed_polys
-            ]
-            lf = self.be.coset_evals(l_first_coeffs, shift)
-            ll = self.be.coset_evals(l_last_coeffs, shift)
-            la = self.be.coset_evals(l_active_coeffs, shift)
-            sig_c = [self.be.coset_evals(po, shift) for po in sigma_polys]
-            acc = [0] * n
-            for ci in range(num_circuits):
-                adv_c = [
-                    self.be.coset_evals(po, shift)
-                    for po in advice_polys_vec[ci]
-                ]
-                inst_c = [
-                    self.be.coset_evals(po, shift)
-                    for po in instance_polys_vec[ci]
-                ]
-                z_c = [
-                    self.be.coset_evals(po, shift)
-                    for po in perm_zp_vec[ci]
-                ]
-                lk_z_c = [
-                    self.be.coset_evals(po, shift)
-                    for po in lookup_zp_vec[ci]
-                ]
-                lk_ap_c = [
-                    self.be.coset_evals(pa, shift)
-                    for pa, _ps in lookup_permuted_polys_vec[ci]
-                ]
-                lk_sp_c = [
-                    self.be.coset_evals(ps, shift)
-                    for _pa, ps in lookup_permuted_polys_vec[ci]
-                ]
-                lk_m_c = [
-                    self.be.coset_evals(mp, shift)
-                    for mp in lookup_mp_vec[ci]
-                ]
-                sh_z_c = [
-                    self.be.coset_evals(po, shift)
-                    for po in shuffle_zp_vec[ci]
-                ]
-                for idx in range(n):
-                    def rot_idx(rot, idx=idx):
-                        return (idx + rot) % n
-
-                    v = acc[idx]
-                    for g in cs.gates:
-                        for poly in g.polys:
-                            gv = _eval_expr(poly, fixed_c, adv_c, inst_c,
-                                            idx, rot_idx,
-                                            challenges=challenges)
-                            v = (v * y + gv) % FR
-                    if z_c:
-                        # part 1: l_first * (1 - z_0); l_last * (z_l^2 - z_l)
-                        v = (v * y + (1 - z_c[0][idx]) * lf[idx]) % FR
-                        zl = z_c[-1][idx]
-                        v = (v * y + ll[idx] * (zl * zl - zl)) % FR
-                        # part 2: stitches
-                        r_last = (idx - (t_blind + 1)) % n
-                        for jj in range(1, len(z_c)):
-                            v = (v * y + lf[idx]
-                                 * (z_c[jj][idx] - z_c[jj - 1][r_last])) % FR
-                        # part 3: transitions; delta term multiplies the
-                        # coset point itself: beta * delta^j * X
-                        # (permutation_evaluator.h:49-50,84 — delta_start =
-                        # beta * zeta, beta_term = w_ext^part * omega^row)
-                        x_coset = shift * pow(omega, idx, FR) % FR
-                        current_delta = beta * x_coset % FR
-                        r_next = (idx + 1) % n
-                        jcol = 0
-                        for jj, chunk in enumerate(chunks):
-                            left = z_c[jj][r_next]
-                            right = z_c[jj][idx]
-                            for cidx, col in enumerate(chunk):
-                                cv = {"fixed": fixed_c, "advice": adv_c,
-                                      "instance": inst_c}[col.kind][col.index][idx]
-                                left = left * (
-                                    (cv + beta * sig_c[jcol + cidx][idx]
-                                     + gamma) % FR) % FR
-                                right = right * (
-                                    (cv + current_delta + gamma) % FR) % FR
-                                current_delta = current_delta * delta % FR
-                            jcol += len(chunk)
-                            v = (v * y + (left - right) * la[idx]) % FR
-                    # lookup identities (reference:
-                    # lookup/halo2/evaluator.h:92-127 — five per lookup;
-                    # log_derivative_halo2/evaluator.h:120-177 — three)
-                    for li in range(len(cs.lookups)):
-                        lk = cs.lookups[li]
-
-                        def rot_idx(rot, idx=idx):
-                            return (idx + rot) % n
-
-                        def comp_at(exprs):
-                            acc2 = 0
-                            for e in exprs:
-                                acc2 = (acc2 * theta + _eval_expr(
-                                    e, fixed_c, adv_c, inst_c, idx,
-                                    rot_idx, challenges=challenges)) % FR
-                            return acc2
-
-                        zv = lk_z_c[li][idx]
-                        z_next = lk_z_c[li][(idx + 1) % n]
-                        if log_derivative:
-                            phis = [(comp_at(inputs) + beta) % FR
-                                    for inputs in lk.inputs_list]
-                            tau = (comp_at(lk.table_exprs) + beta) % FR
-                            prod = 1
-                            for p_v in phis:
-                                prod = prod * p_v % FR
-                            lhs = tau * prod % FR * ((z_next - zv) % FR) % FR
-                            excl = 0
-                            for i2 in range(len(phis)):
-                                t2 = 1
-                                for j2, p_v in enumerate(phis):
-                                    if j2 != i2:
-                                        t2 = t2 * p_v % FR
-                                excl = (excl + t2) % FR
-                            rhs = (tau * excl - prod * lk_m_c[li][idx]) % FR
-                            v = (v * y + lf[idx] * zv) % FR
-                            v = (v * y + ll[idx] * zv) % FR
-                            v = (v * y + (lhs - rhs) * la[idx]) % FR
-                            continue
-                        a_comp = comp_at(lk.input_exprs)
-                        s_comp = comp_at(lk.table_exprs)
-                        av = lk_ap_c[li][idx]
-                        a_prev = lk_ap_c[li][(idx - 1) % n]
-                        sv = lk_sp_c[li][idx]
-                        a_minus_s = (av - sv) % FR
-                        v = (v * y + lf[idx] * (1 - zv)) % FR
-                        v = (v * y + ll[idx] * (zv * zv - zv)) % FR
-                        v = (v * y + la[idx] * (
-                            z_next * ((av + beta) % FR) % FR
-                            * ((sv + gamma) % FR)
-                            - zv * ((a_comp + beta) % FR) % FR
-                            * ((s_comp + gamma) % FR))) % FR
-                        v = (v * y + lf[idx] * a_minus_s) % FR
-                        v = (v * y + la[idx] * a_minus_s
-                             * ((av - a_prev) % FR)) % FR
-                    # shuffle identities (reference:
-                    # shuffle/evaluator.h:71-130 — three per shuffle)
-                    for si, sh in enumerate(cs.shuffles):
-                        def rot_idx(rot, idx=idx):
-                            return (idx + rot) % n
-
-                        def comp_at2(exprs):
-                            acc2 = 0
-                            for e in exprs:
-                                acc2 = (acc2 * theta + _eval_expr(
-                                    e, fixed_c, adv_c, inst_c, idx,
-                                    rot_idx, challenges=challenges)) % FR
-                            return acc2
-
-                        zv = sh_z_c[si][idx]
-                        z_next = sh_z_c[si][(idx + 1) % n]
-                        a_comp = comp_at2(sh.input_exprs)
-                        s_comp = comp_at2(sh.shuffle_exprs)
-                        v = (v * y + lf[idx] * (1 - zv)) % FR
-                        v = (v * y + ll[idx] * (zv * zv - zv)) % FR
-                        v = (v * y + la[idx] * (
-                            z_next * ((s_comp + gamma) % FR)
-                            - zv * ((a_comp + gamma) % FR))) % FR
-                    acc[idx] = v
-            # divide by t(X) = X^n - 1 on this part's coset
-            t_eval = (pow(shift, n, FR) - 1) % FR
-            t_inv = pow(t_eval, FR - 2, FR)
-            value_parts.append([vv * t_inv % FR for vv in acc])
-
-        # reassemble extended evals: ext point e = zeta * w_ext^(part + idx
-        # * num_parts) -> h coeffs via extended ifft + zeta unscale
-        h_ext = [0] * ext_n
-        for part in range(num_parts):
-            for idx in range(n):
-                h_ext[part + idx * num_parts] = value_parts[part][idx]
-        h_coeffs_scaled = host_ifft(h_ext, omega_ext)
-        zeta_inv = pow(zeta, FR - 2, FR)
-        s = 1
-        h_coeffs = []
-        for j in range(ext_n):
-            h_coeffs.append(h_coeffs_scaled[j] * s % FR)
-            s = s * zeta_inv % FR
         # split into quotient_poly_degree pieces of n
         # (vanishing_prover_impl.h CreateFinalHPoly/CommitFinalHPoly)
         qdeg = cs.required_degree() - 1

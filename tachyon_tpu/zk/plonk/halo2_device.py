@@ -57,3 +57,252 @@ class DeviceBackend:
         n = self.pk.n
         cf = list(coeffs) + [0] * (n - len(coeffs))
         return self._decode(self.dom.coset_fft(self._encode(cf), int(shift)))
+
+    # --- device quotient build (GraphEvaluator analog) ------------------------
+    def _encode_poly(self, coeffs):
+        n = self.pk.n
+        cf = [int(v) for v in coeffs] + [0] * (n - len(coeffs))
+        return self._encode(cf)
+
+    def _const(self, v):
+        """(L, 1) Montgomery constant for broadcasting against (L, n)."""
+        import numpy as _np
+
+        return self.Fr.encode(_np.array([int(v) % self.Fr.p], dtype=object))
+
+    def build_h_coeffs(self, *, challenges, theta, beta, gamma, y, t_blind,
+                       chunks, log_derivative, advice_polys_vec,
+                       instance_polys_vec, perm_zp_vec, lookup_zp_vec,
+                       lookup_permuted_polys_vec, lookup_mp_vec,
+                       shuffle_zp_vec):
+        """h(X) built entirely on device: coset FFTs + vectorized identity
+        evaluation over each extended-coset part + extended iFFT.
+
+        This is the TPU-native analog of the reference's GraphEvaluator /
+        CircuitPolynomialBuilder (reference: zk/plonk/vanishing/
+        graph_evaluator.h:52 register machine, circuit_polynomial_builder.h
+        :132-199 BuildExtendedCircuitColumn): instead of compiling the gate
+        AST to a register program run row-by-row under OpenMP, every AST
+        node evaluates to a whole (L, n) Montgomery column and XLA fuses
+        the elementwise DAG; rotations are jnp.rolls.  Bit-exact against
+        the host oracle (build_h_coeffs_host) by construction — same
+        identity order, same Horner-in-y folding."""
+        import jax
+        import jax.numpy as jnp
+
+        from tachyon_tpu.zk.plonk import expressions as ex
+        from tachyon_tpu.zk.plonk.halo2 import (
+            FR, HALO2_GENERATOR, TWO_ADICITY, halo2_omega, halo2_zeta,
+        )
+        from tachyon_tpu.math.ntt import Radix2Domain
+
+        pk, F = self.pk, self.Fr
+        cs, n, omega = pk.cs, pk.n, pk.omega
+        num_circuits = len(advice_polys_vec)
+        ext_k = pk.extended_k
+        ext_n = 1 << ext_k
+        num_parts = ext_n // n
+        omega_ext = halo2_omega(ext_k)
+        zeta = halo2_zeta(pk.vendor)
+        delta = pow(HALO2_GENERATOR, 1 << TWO_ADICITY, FR)
+        usable = pk.usable_rows  # noqa: F841 (identities use l_active)
+
+        # --- encode every coefficient poly once -------------------------------
+        enc = self._encode_poly
+        fixed_p = [enc(po) for po in pk.fixed_polys]
+        lf_p, ll_p, la_p = enc(pk.l_first), enc(pk.l_last), enc(pk.l_active_row)
+        sig_p = [enc(po) for po in pk.permutation_polys]
+        adv_p = [[enc(po) for po in advice_polys_vec[ci]]
+                 for ci in range(num_circuits)]
+        inst_p = [[enc(po) for po in instance_polys_vec[ci]]
+                  for ci in range(num_circuits)]
+        z_p = [[enc(po) for po in perm_zp_vec[ci]] for ci in range(num_circuits)]
+        lkz_p = [[enc(po) for po in lookup_zp_vec[ci]]
+                 for ci in range(num_circuits)]
+        lkap_p = [[enc(pa) for pa, _ in lookup_permuted_polys_vec[ci]]
+                  for ci in range(num_circuits)]
+        lksp_p = [[enc(ps) for _, ps in lookup_permuted_polys_vec[ci]]
+                  for ci in range(num_circuits)]
+        lkm_p = [[enc(mp) for mp in lookup_mp_vec[ci]]
+                 for ci in range(num_circuits)]
+        shz_p = [[enc(po) for po in shuffle_zp_vec[ci]]
+                 for ci in range(num_circuits)]
+
+        y_c = self._const(y)
+        beta_c = self._const(beta)
+        gamma_c = self._const(gamma)
+        theta_c = self._const(theta)
+        delta_c = self._const(delta)
+        one_v = F.ones((n,))
+        ch_enc = {k: self._const(v) for k, v in (challenges or {}).items()}
+        t1 = t_blind + 1
+
+        polys_arg = dict(
+            fixed=fixed_p, lf=lf_p, ll=ll_p, la=la_p, sig=sig_p,
+            adv=adv_p, inst=inst_p, z=z_p, lkz=lkz_p, lkap=lkap_p,
+            lksp=lksp_p, lkm=lkm_p, shz=shz_p,
+        )
+        omega_pows = self.dom.shift_powers(omega)  # (L, n) device const
+
+        def part_values(shift_c, t_inv_c, omega_pows, P):
+            """acc (L, n) for one extended-coset part, divided by t(X).
+            Whole-part graph is jitted ONCE; the coset shift arrives as a
+            traced (L, 1) scalar."""
+            # shift^i table via log-doubling (static trip count)
+            tab, cur = F.ones((1,)), shift_c
+            while tab.shape[-1] < n:
+                tab = jnp.concatenate([tab, F.mul(tab, cur)], axis=-1)
+                cur = F.square(cur)
+            shift_pows = tab[:, :n]
+
+            def coset(po):
+                return self.dom.fft(F.mul(po, shift_pows))
+
+            fixed_c = [coset(po) for po in P["fixed"]]
+            lfv = coset(P["lf"])
+            llv = coset(P["ll"])
+            lav = coset(P["la"])
+            sig_c = [coset(po) for po in P["sig"]]
+            x_coset = F.mul(omega_pows, shift_c)
+            acc = F.zeros((n,))
+
+            def fold(v, term):
+                return F.add(F.mul(v, y_c), term)
+
+            for ci in range(num_circuits):
+                adv_c = [coset(po) for po in P["adv"][ci]]
+                inst_c = [coset(po) for po in P["inst"][ci]]
+                z_c = [coset(po) for po in P["z"][ci]]
+                lk_z_c = [coset(po) for po in P["lkz"][ci]]
+                lk_ap_c = [coset(po) for po in P["lkap"][ci]]
+                lk_sp_c = [coset(po) for po in P["lksp"][ci]]
+                lk_m_c = [coset(po) for po in P["lkm"][ci]]
+                sh_z_c = [coset(po) for po in P["shz"][ci]]
+
+                def expr(e):
+                    if isinstance(e, ex.Constant):
+                        return F.full((n,), e.value % FR)
+                    if isinstance(e, ex.Challenge):
+                        return jnp.broadcast_to(ch_enc[e.index], (F.L, n))
+                    if isinstance(e, ex.Fixed):
+                        return jnp.roll(fixed_c[e.column], -e.rotation, axis=1)
+                    if isinstance(e, ex.Advice):
+                        return jnp.roll(adv_c[e.column], -e.rotation, axis=1)
+                    if isinstance(e, ex.Instance):
+                        return jnp.roll(inst_c[e.column], -e.rotation, axis=1)
+                    if isinstance(e, ex.Negated):
+                        return F.neg(expr(e.expr))
+                    if isinstance(e, ex.Scaled):
+                        return F.mul(expr(e.expr), self._const(e.scale))
+                    if isinstance(e, ex.Sum):
+                        return F.add(expr(e.left), expr(e.right))
+                    if isinstance(e, ex.Product):
+                        return F.mul(expr(e.left), expr(e.right))
+                    raise TypeError(e)
+
+                def comp_at(exprs):
+                    a = F.zeros((n,))
+                    for e in exprs:
+                        a = F.add(F.mul(a, theta_c), expr(e))
+                    return a
+
+                for g in cs.gates:
+                    for poly in g.polys:
+                        acc = fold(acc, expr(poly))
+                if z_c:
+                    # part 1: l_first * (1 - z_0); l_last * (z_l^2 - z_l)
+                    acc = fold(acc, F.mul(F.sub(one_v, z_c[0]), lfv))
+                    zl = z_c[-1]
+                    acc = fold(acc, F.mul(llv, F.sub(F.square(zl), zl)))
+                    # part 2: chunk stitches at r_last = idx - (t_blind+1)
+                    for jj in range(1, len(z_c)):
+                        prev_last = jnp.roll(z_c[jj - 1], t1, axis=1)
+                        acc = fold(acc, F.mul(lfv, F.sub(z_c[jj], prev_last)))
+                    # part 3: transitions
+                    cur_delta = F.mul(beta_c, x_coset)
+                    jcol = 0
+                    for jj, chunk in enumerate(chunks):
+                        left = jnp.roll(z_c[jj], -1, axis=1)
+                        right = z_c[jj]
+                        for cidx, col in enumerate(chunk):
+                            cv = {"fixed": fixed_c, "advice": adv_c,
+                                  "instance": inst_c}[col.kind][col.index]
+                            left = F.mul(left, F.add(
+                                F.add(cv, F.mul(beta_c, sig_c[jcol + cidx])),
+                                gamma_c))
+                            right = F.mul(right, F.add(
+                                F.add(cv, cur_delta), gamma_c))
+                            cur_delta = F.mul(cur_delta, delta_c)
+                        jcol += len(chunk)
+                        acc = fold(acc, F.mul(F.sub(left, right), lav))
+                for li, lk in enumerate(cs.lookups):
+                    zv = lk_z_c[li]
+                    z_next = jnp.roll(zv, -1, axis=1)
+                    if log_derivative:
+                        phis = [F.add(comp_at(inputs), beta_c)
+                                for inputs in lk.inputs_list]
+                        tau = F.add(comp_at(lk.table_exprs), beta_c)
+                        prod = phis[0]
+                        for p_v in phis[1:]:
+                            prod = F.mul(prod, p_v)
+                        lhs = F.mul(F.mul(tau, prod), F.sub(z_next, zv))
+                        excl = F.zeros((n,))
+                        for i2 in range(len(phis)):
+                            t2 = None
+                            for j2, p_v in enumerate(phis):
+                                if j2 != i2:
+                                    t2 = p_v if t2 is None else F.mul(t2, p_v)
+                            excl = F.add(excl,
+                                         t2 if t2 is not None else one_v)
+                        rhs = F.sub(F.mul(tau, excl), F.mul(prod, lk_m_c[li]))
+                        acc = fold(acc, F.mul(lfv, zv))
+                        acc = fold(acc, F.mul(llv, zv))
+                        acc = fold(acc, F.mul(F.sub(lhs, rhs), lav))
+                        continue
+                    a_comp = comp_at(lk.input_exprs)
+                    s_comp = comp_at(lk.table_exprs)
+                    av = lk_ap_c[li]
+                    a_prev = jnp.roll(av, 1, axis=1)
+                    sv = lk_sp_c[li]
+                    a_minus_s = F.sub(av, sv)
+                    acc = fold(acc, F.mul(lfv, F.sub(one_v, zv)))
+                    acc = fold(acc, F.mul(llv, F.sub(F.square(zv), zv)))
+                    acc = fold(acc, F.mul(lav, F.sub(
+                        F.mul(F.mul(z_next, F.add(av, beta_c)),
+                              F.add(sv, gamma_c)),
+                        F.mul(F.mul(zv, F.add(a_comp, beta_c)),
+                              F.add(s_comp, gamma_c)))))
+                    acc = fold(acc, F.mul(lfv, a_minus_s))
+                    acc = fold(acc, F.mul(F.mul(lav, a_minus_s),
+                                          F.sub(av, a_prev)))
+                for si, sh in enumerate(cs.shuffles):
+                    zv = sh_z_c[si]
+                    z_next = jnp.roll(zv, -1, axis=1)
+                    a_comp = comp_at(sh.input_exprs)
+                    s_comp = comp_at(sh.shuffle_exprs)
+                    acc = fold(acc, F.mul(lfv, F.sub(one_v, zv)))
+                    acc = fold(acc, F.mul(llv, F.sub(F.square(zv), zv)))
+                    acc = fold(acc, F.mul(lav, F.sub(
+                        F.mul(z_next, F.add(s_comp, gamma_c)),
+                        F.mul(zv, F.add(a_comp, gamma_c)))))
+            return F.mul(acc, t_inv_c)
+
+        part_jit = jax.jit(part_values)
+        parts = []
+        for part in range(num_parts):
+            shift = zeta * pow(omega_ext, part, FR) % FR
+            t_eval = (pow(shift, n, FR) - 1) % FR
+            t_inv = pow(t_eval, FR - 2, FR)
+            parts.append(part_jit(self._const(shift), self._const(t_inv),
+                                  omega_pows, polys_arg))
+        # h_ext[part + idx*num_parts] = parts[part][idx]
+        h_ext = jnp.stack(parts, axis=-1).reshape(F.L, ext_n)
+        dom_ext = Radix2Domain(F, ext_n, omega_int=omega_ext)
+        h_scaled = dom_ext.ifft(h_ext)
+        zeta_inv = pow(zeta, FR - 2, FR)
+        zpows, s = [], 1
+        for _ in range(ext_n):
+            zpows.append(s)
+            s = s * zeta_inv % FR
+        h = F.mul(h_scaled, F.encode(np.array(zpows, dtype=object)))
+        return self._decode(h)

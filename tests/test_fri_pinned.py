@@ -54,7 +54,7 @@ def _artifacts():
         for i in range(root.shape[1]):
             ch.observe(int(F.decode(root[:, i])))
     zeta = ch.sample_ext(4)
-    points = [[[zeta] for _ in d.matrices] for d in datas]
+    points = [[[zeta] for _ in d.ldes] for d in datas]
     opened, proof = pcs.create_opening_proof(datas, points, ch)
 
     def ints(arr):
