@@ -7,6 +7,7 @@ benchmark/ binaries; see each bench_* module for its baseline source).
 from benchmarks import (
     bench_ec,
     bench_fri,
+    bench_groth16,
     bench_msm,
     bench_ntt,
     bench_poseidon2,
@@ -14,7 +15,8 @@ from benchmarks import (
 
 
 def main():
-    for mod in (bench_msm, bench_ec, bench_ntt, bench_poseidon2, bench_fri):
+    for mod in (bench_msm, bench_ec, bench_ntt, bench_poseidon2, bench_fri,
+                bench_groth16):
         mod.main()
 
 

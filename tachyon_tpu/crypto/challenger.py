@@ -63,16 +63,49 @@ class DuplexChallenger:
         self.observe(witness)
         return self.sample_bits(bits) == 0
 
-    def grind(self, bits: int, max_iter: int = 1 << 22) -> int:
+    def grind(self, bits: int, max_iter: int = 1 << 22,
+              batch: int = 1 << 13) -> int:
         """Find witness w such that a clone observing w samples `bits` zeros.
 
-        Host sequential with cloned state (cheap python-side permute would be
-        better; for the typical 16-20 bits SP1 configs we batch on device in
-        a later revision).
+        Batched on device: `check_witness(w)` reduces to exactly one duplex
+        permutation of the current state with the pending inputs plus `w`
+        written into the rate rows, then a mask test on the popped element
+        (state[t-1]).  Poseidon2.permute is natively batched over a trailing
+        axis, so `batch` candidates are tested per device dispatch, scanning
+        chunks in witness order so the returned w matches the sequential
+        loop bit-for-bit (reference: challenger.h Grind — an OpenMP
+        parallel-for over candidates; here the lanes are the parallelism).
         """
-        for w in range(max_iter):
-            clone = self.clone()
-            if clone.check_witness(bits, w):
+        import jax
+        import jax.numpy as jnp
+
+        F, t = self.F, self.t
+        pend = [int(v) % F.p for v in self._inputs]
+        k = len(pend)
+        assert k < self.R
+        mask = (1 << bits) - 1
+
+        base = list(self._state)
+        for i, v in enumerate(pend):
+            base[i] = v
+        fixed = F.encode(np.array(base, dtype=object))  # (L, t)
+
+        def chunk(ws_enc):  # ws_enc: (L, B)
+            st = jnp.broadcast_to(
+                fixed[:, :, None], fixed.shape + (ws_enc.shape[-1],))
+            st = st.at[:, k, :].set(ws_enc)
+            return self.perm.permute(st)[:, t - 1, :]
+
+        chunk_jit = jax.jit(chunk)
+        for start in range(0, max_iter, batch):
+            ws = np.arange(start, min(start + batch, max_iter), dtype=object)
+            out = chunk_jit(F.encode(np.array([int(w) % F.p for w in ws],
+                                              dtype=object)))
+            last = F.decode(out)
+            hits = [i for i, v in enumerate(np.asarray(last))
+                    if int(v) & mask == 0]
+            if hits:
+                w = int(ws[hits[0]])
                 self.observe(w)
                 assert self.sample_bits(bits) == 0
                 return w

@@ -71,3 +71,31 @@ def test_challenger_grind(hasher):
     ch2 = DuplexChallenger(hasher, rate=4)
     ch2.observe(42)
     assert ch2.check_witness(3, w)
+
+
+def test_challenger_grind_matches_sequential(hasher):
+    """Device-batched grind returns the FIRST valid witness — identical to
+    the sequential host loop — including when inputs are pending (k > 0)
+    and when the hit lands past the first device chunk."""
+    for n_obs in (1, 2, 3):  # pending-input offsets inside the rate window
+        ch = DuplexChallenger(hasher, rate=4)
+        for i in range(n_obs):
+            ch.observe(1000 + i)
+        # oracle: sequential clone scan
+        expected = None
+        for w in range(4096):
+            if ch.clone().check_witness(4, w):
+                expected = w
+                break
+        got = ch.clone().grind(4, max_iter=4096, batch=64)
+        assert got == expected
+    # chunk-boundary: force a tiny batch so the hit is in a later chunk
+    ch = DuplexChallenger(hasher, rate=4)
+    ch.observe(7)
+    seq = None
+    for w in range(1 << 12):
+        if ch.clone().check_witness(6, w):
+            seq = w
+            break
+    assert seq is not None
+    assert ch.clone().grind(6, max_iter=1 << 12, batch=16) == seq
