@@ -75,6 +75,97 @@ def unsafe_setup(n: int, tau: int) -> KZGParams:
     return KZGParams(pts, lag, G2, _py_g2_mul(G2, tau), n)
 
 
+def _mont64(p: int):
+    """reference wire format constants: 4x u64 little-endian limbs holding
+    the coordinate in Montgomery form w.r.t. R = 2^256."""
+    R = (1 << 256) % p
+    return R, pow(R, p - 2, p)
+
+
+def _read_fq(buf: memoryview, off: int, p: int, rinv: int) -> tuple[int, int]:
+    v = int.from_bytes(bytes(buf[off:off + 32]), "little") * rinv % p
+    return v, off + 32
+
+
+def load_params(data: bytes) -> KZGParams:
+    """Parse a halo2 KZG params blob — the exact byte stream the reference's
+    prover-from-params C API consumes (reference: c/zk/plonk/halo2/
+    buffer_reader.h:488-523 — u32 k; 2^k G1 powers-of-tau; 2^k Lagrange
+    G1 points; g2; s_g2; every coordinate 4x u64 LE Montgomery limbs).
+
+    This is the production SRS path: point coordinates parse on host and
+    upload once as encoded (L, n) columns; commits then run the device MSM.
+    """
+    g1 = curves.bn254_g1()
+    Fq = g1.F
+    p = Fq.p
+    _, rinv = _mont64(p)
+    buf = memoryview(data)
+    k = int.from_bytes(bytes(buf[:4]), "little")
+    n = 1 << k
+    off = 4
+
+    def read_g1_vec(count):
+        xs = np.empty((count,), dtype=object)
+        ys = np.empty((count,), dtype=object)
+        nonlocal off
+        for i in range(count):
+            xs[i], off = _read_fq(buf, off, p, rinv)
+            ys[i], off = _read_fq(buf, off, p, rinv)
+        inf = np.array([x == 0 and y == 0 for x, y in zip(xs, ys)])
+        return AffinePoint(Fq.encode(xs), Fq.encode(ys), jnp.asarray(inf))
+
+    powers = read_g1_vec(n)
+    lagrange = read_g1_vec(n)
+
+    def read_g2():
+        nonlocal off
+        x0, off = _read_fq(buf, off, p, rinv)
+        x1, off = _read_fq(buf, off, p, rinv)
+        y0, off = _read_fq(buf, off, p, rinv)
+        y1, off = _read_fq(buf, off, p, rinv)
+        return ((x0, x1), (y0, y1))
+
+    g2 = read_g2()
+    s_g2 = read_g2()
+    assert off == len(buf), (off, len(buf))
+    return KZGParams(powers, lagrange, g2, s_g2, n)
+
+
+def load_params_file(path: str) -> KZGParams:
+    with open(path, "rb") as f:
+        return load_params(f.read())
+
+
+def dump_params(params: KZGParams) -> bytes:
+    """Inverse of load_params (same reference wire format) — lets an
+    unsafe-setup SRS round-trip through the production path in tests."""
+    g1 = curves.bn254_g1()
+    Fq = g1.F
+    p = Fq.p
+    R, _ = _mont64(p)
+    out = bytearray()
+    k = params.n.bit_length() - 1
+    assert 1 << k == params.n
+    out += int(k).to_bytes(4, "little")
+
+    def put_fq(v):
+        out.extend((int(v) * R % p).to_bytes(32, "little"))
+
+    for pts in (params.g1_powers, params.g1_lagrange):
+        xs = np.asarray(Fq.decode(pts.x))
+        ys = np.asarray(Fq.decode(pts.y))
+        inf = np.asarray(pts.inf)
+        for i in range(params.n):
+            put_fq(0 if inf[i] else xs[i])
+            put_fq(0 if inf[i] else ys[i])
+    for q in (params.g2_gen, params.g2_tau):
+        (x0, x1), (y0, y1) = q
+        for v in (x0, x1, y0, y1):
+            put_fq(v)
+    return bytes(out)
+
+
 def commit(params: KZGParams, coeffs_std: jnp.ndarray):
     """coeffs_std: (L, k<=n) standard-form limb scalars -> XYZZ point."""
     g1 = curves.bn254_g1()
