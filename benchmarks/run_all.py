@@ -8,6 +8,7 @@ from benchmarks import (
     bench_ec,
     bench_fri,
     bench_groth16,
+    bench_halo2,
     bench_msm,
     bench_ntt,
     bench_poseidon2,
@@ -16,7 +17,7 @@ from benchmarks import (
 
 def main():
     for mod in (bench_msm, bench_ec, bench_ntt, bench_poseidon2, bench_fri,
-                bench_groth16):
+                bench_groth16, bench_halo2):
         mod.main()
 
 

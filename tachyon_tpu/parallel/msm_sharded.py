@@ -104,12 +104,21 @@ def msm_sharded_2d(
     point_axis=None replicates the points (pure window parallelism,
     kParallelWindow).  scalars: (Ls, n) plain limbs; window count
     W = ceil(bits/c) must be divisible by the window-axis size.
+
+    Combine strategy: every device emits its Wk *raw* window sums (balanced
+    work, no local horner, no per-device weight chain), shard_map gathers
+    the full (..., W, point_parts) partial grid, point partials are
+    tree-added per window, and ONE replicated static-trip-count horner
+    folds the W windows — W*c doublings total, identical on every chip.
+    This replaces the earlier dynamic-bound 2^(c*w_lo) doubling chain
+    (up to ~(W-Wk)*c serial doublings on the last window device) with a
+    combine whose sequential depth equals the single-device horner's and
+    whose per-device bucket work is perfectly balanced.
     """
     from tachyon_tpu.math.msm import (
         digit_decompose, _layout_and_blinds, _window_sum,
     )
 
-    n_dev = int(mesh.devices.size)
     win_dev = mesh.shape[window_axis]
     total_bits = curve.SF.spec.bits
     W = (total_bits + c - 1) // c
@@ -150,26 +159,13 @@ def msm_sharded_2d(
         # this device's Wk windows: rows widx*Wk .. widx*Wk+Wk-1
         my = jax.lax.dynamic_slice_in_dim(digits, widx * Wk, Wk, axis=0)
         _, wins = jax.lax.scan(window_body, None, my)
-        # local horner over the Wk windows (most significant first)
-        rev = jax.tree.map(lambda t: t[::-1], wins)
-        first = jax.tree.map(lambda t: t[0], rev)
-        rest = jax.tree.map(lambda t: t[1:], rev)
-
-        def horner_body(acc, win):
-            acc = jax.lax.fori_loop(0, c, lambda i, a: curve.dbl_xyzz(a), acc)
-            return curve.add_xyzz(acc, win), None
-
-        acc, _ = jax.lax.scan(horner_body, first, rest)
-        # weight by 2^(c * widx * Wk): dynamic-bound doubling chain
-        acc = jax.lax.fori_loop(
-            0, widx * Wk * c, lambda i, a: curve.dbl_xyzz(a), acc
+        # leaves (Wk, ...): window axis -> second-to-last, point-part axis
+        # (size 1 locally) -> last
+        return jax.tree.map(
+            lambda t: jnp.moveaxis(t, 0, -1)[..., :, None], wins
         )
-        return jax.tree.map(lambda t: t[..., None], acc)
 
-    part_axes = tuple(a for a in (point_axis, window_axis) if a is not None)
-    num_partials = 1
-    for a in part_axes:
-        num_partials *= int(mesh.shape[a])
+    pd = int(mesh.shape[point_axis]) if point_axis is not None else 1
     partials = shard_map(
         local,
         mesh=mesh,
@@ -177,6 +173,18 @@ def msm_sharded_2d(
             AffinePoint(coord_in, coord_in, P(point_axis)),
             P(None, point_axis),
         ),
-        out_specs=PointXYZZ(*([P(*([None] * (cnd - 1)), part_axes)] * 4)),
-    )(points, scalars)
-    return _tree_reduce(curve, partials, num_partials)
+        out_specs=PointXYZZ(
+            *([P(*([None] * (cnd - 1)), window_axis, point_axis)] * 4)
+        ),
+    )(points, scalars)  # leaves (..., W, pd)
+    per_win = _tree_reduce(curve, partials, pd)  # (..., W)
+
+    def horner_body(acc, win):
+        acc = jax.lax.fori_loop(
+            0, c, lambda i, a: curve.dbl_xyzz(a), acc, unroll=False
+        )
+        return curve.add_xyzz(acc, win), None
+
+    rev = jax.tree.map(lambda t: jnp.moveaxis(t, -1, 0)[::-1], per_win)
+    acc, _ = jax.lax.scan(horner_body, curve.infinity_xyzz(()), rev)
+    return acc
