@@ -84,17 +84,16 @@ def main():
     import jax
 
     global LOG_N
+    from tachyon_tpu.base.cache import enable_persistent_cache
+
     if _tpu_available():
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        enable_persistent_cache("tpu")
     else:
         # fall back to cpu so the bench reports a number instead of hanging
         print("# TPU tunnel unavailable; falling back to cpu (NTT metric)",
               file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache_cpu_bench")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        enable_persistent_cache("cpu_bench")
         return ntt_bench()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

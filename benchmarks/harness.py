@@ -16,9 +16,10 @@ import time
 def setup_jax():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from tachyon_tpu.base.cache import enable_persistent_cache
+
+    tag = "cpu_bench" if jax.config.jax_platforms == "cpu" else "tpu"
+    enable_persistent_cache(tag)
     return jax
 
 

@@ -18,13 +18,10 @@ import jax
 
 # the embedded interpreter benefits from the persistent compile cache as
 # much as the CLI does (XLA compiles are minutes-per-shape on small hosts)
-jax.config.update(
-    "jax_compilation_cache_dir",
-    "/root/repo/.jax_cache_cpu_bridge"
-    if jax.config.jax_platforms == "cpu" else "/root/repo/.jax_cache",
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from tachyon_tpu.base.cache import enable_persistent_cache
+
+enable_persistent_cache(
+    "cpu_bridge" if jax.config.jax_platforms == "cpu" else "tpu")
 import jax.numpy as jnp
 
 

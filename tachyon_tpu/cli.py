@@ -58,8 +58,11 @@ def cmd_prove(args) -> int:
     platform = _resolve_platform(args.platform)
     if platform:
         jax.config.update("jax_platforms", platform)
-        if platform == "cpu":
-            args.jax_cache = args.jax_cache.rstrip("/") + "_cpu"
+    from tachyon_tpu.base.cache import machine_fingerprint
+
+    if (platform or "tpu") == "cpu":
+        args.jax_cache = (args.jax_cache.rstrip("/")
+                          + "_cpu_" + machine_fingerprint())
     jax.config.update("jax_compilation_cache_dir", args.jax_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -3,9 +3,9 @@
 Analog of the reference's halo2 constraint system
 (reference: tachyon/zk/plonk/constraint_system/constraint_system.h, columns,
 gates, selectors; permutation registration permutation/cycle_store.h).
-Simplifications this round: selectors are plain fixed columns (no selector
-compression yet); a single permutation argument covers all equality-enabled
-columns.
+Selector compression (combining simple selectors into packed fixed columns,
+reference selector_compressor.h) lives in selector.py and is applied at
+keygen; a single permutation argument covers all equality-enabled columns.
 """
 from __future__ import annotations
 

@@ -19,16 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+from tachyon_tpu.base.cache import enable_persistent_cache
+
 if os.environ.get("TACHYON_TEST_CPU"):
     jax.config.update("jax_platforms", "cpu")
-    # entries written in other flag environments can crash AOT
-    # deserialization — cpu runs get their own cache
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/repo/.jax_cache_cpu")
+    # cpu AOT entries embed the compile host's CPU features — caches are
+    # machine-scoped so entries from another host can't poison this one
+    enable_persistent_cache("cpu")
 else:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    enable_persistent_cache("tpu")
 
 import numpy as np
 import pytest
