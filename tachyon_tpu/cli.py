@@ -61,8 +61,11 @@ def cmd_prove(args) -> int:
     from tachyon_tpu.base.cache import machine_fingerprint
 
     if (platform or "tpu") == "cpu":
+        # own tag: the CLI process runs WITHOUT the test/driver XLA flag
+        # env (no --xla_force_host_platform_device_count), and entries
+        # written under one flag env can crash deserialization in another
         args.jax_cache = (args.jax_cache.rstrip("/")
-                          + "_cpu_" + machine_fingerprint())
+                          + "_cpu_cli_" + machine_fingerprint())
     jax.config.update("jax_compilation_cache_dir", args.jax_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -110,7 +110,64 @@ def _csub_p(f: FieldSpec, limbs: list, extra: jnp.ndarray | None) -> list:
 # public ops: all take/return (L, *batch) uint32 arrays in Montgomery form
 # ----------------------------------------------------------------------------
 
-def add(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _p_stacked(f: FieldSpec, like: jnp.ndarray) -> jnp.ndarray:
+    """(L, *batch) broadcast of the modulus limbs."""
+    p = jnp.asarray(f.p_limbs, dtype=_U32).reshape(
+        (f.L,) + (1,) * (like.ndim - 1)
+    )
+    return jnp.broadcast_to(p, like.shape)
+
+
+def _csub_p_scan(f: FieldSpec, out: jnp.ndarray,
+                 extra: jnp.ndarray) -> jnp.ndarray:
+    """scan-form conditional subtract p (see _csub_p); out (L, *batch)."""
+    def body(borrow, tp):
+        t, pi = tp
+        d = t - pi - borrow
+        return d >> 31, d & MASK
+
+    borrow, diff = jax.lax.scan(
+        body, jnp.zeros_like(out[0]), (out, _p_stacked(f, out))
+    )
+    t = extra - borrow
+    keep = (t >> 31).astype(jnp.bool_)  # borrowed -> value < p -> keep
+    return jnp.where(keep, out, diff)
+
+
+def _add_scan(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Compile-compact add: the carry ripple is a lax.scan over the limb
+    axis, so XLA sees ONE loop body per shape and dedupes it across every
+    add in the graph — the unrolled form costs ~2s of XLA:CPU compile per
+    call site (the round-4 dryrun/suite timeout root cause)."""
+    def body(c, ab):
+        ai, bi = ab
+        t = ai + bi + c
+        return t >> LIMB_BITS, t & MASK
+
+    c, out = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+    return _csub_p_scan(f, out, c)
+
+
+def _sub_scan(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    def body(borrow, ab):
+        ai, bi = ab
+        t = ai - bi - borrow
+        return t >> 31, t & MASK
+
+    borrow, diff = jax.lax.scan(body, jnp.zeros_like(a[0]), (a, b))
+
+    def body2(c, dp):
+        d, pi = dp
+        t = d + borrow * pi + c  # borrow==1 -> add p back
+        return t >> LIMB_BITS, t & MASK
+
+    _, res = jax.lax.scan(
+        body2, jnp.zeros_like(a[0]), (diff, _p_stacked(f, diff))
+    )
+    return res
+
+
+def _add_unrolled(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     av, bv = _split(a), _split(b)
     cols = [x + y for x, y in zip(av, bv)]
     # normalize L limbs + top carry
@@ -123,7 +180,7 @@ def add(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _join(_csub_p(f, out, c))
 
 
-def sub(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def _sub_unrolled(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     av, bv = _split(a), _split(b)
     diff, borrow = _sub_with_borrow(av, bv)
     # if borrow: add p
@@ -135,6 +192,27 @@ def sub(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         addp.append(t & MASK)
         c = t >> LIMB_BITS
     return _join(addp)
+
+
+def add(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a + b mod p.  TPU lowers the unrolled limb chain (parallel vector
+    ops); other platforms take the scan form, whose single loop body keeps
+    XLA:CPU compile time flat in the number of adds in a graph."""
+    a, b = jnp.broadcast_arrays(a, b)
+    return jax.lax.platform_dependent(
+        a, b,
+        tpu=partial(_add_unrolled, f),
+        default=partial(_add_scan, f),
+    )
+
+
+def sub(f: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a, b = jnp.broadcast_arrays(a, b)
+    return jax.lax.platform_dependent(
+        a, b,
+        tpu=partial(_sub_unrolled, f),
+        default=partial(_sub_scan, f),
+    )
 
 
 def neg(f: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:

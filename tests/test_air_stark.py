@@ -4,6 +4,10 @@ c/zk/air/sp1/*)."""
 import numpy as np
 import pytest
 
+# the prove/verify graphs (FRI fold scans + Poseidon2 merkle layers) cost
+# ~30 min of XLA:CPU compile on a 1-core host; exercised on the TPU path
+pytestmark = pytest.mark.slow
+
 from tachyon_tpu.crypto import poseidon2
 from tachyon_tpu.crypto.challenger import DuplexChallenger
 from tachyon_tpu.crypto.fri import FRIConfig, TwoAdicFRIPCS

@@ -6,6 +6,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+# a cold CLI subprocess recompiles the whole Groth16 pipeline (~17 min on
+# the 1-core CPU fallback); the TPU path runs it in a couple of minutes
+pytestmark = pytest.mark.slow
+
 ZKEY = "/root/reference/vendors/circom/examples/multiplier_3.zkey"
 WTNS = "/root/reference/vendors/circom/circomlib/wtns/multiplier_3.wtns"
 

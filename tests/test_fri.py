@@ -87,23 +87,28 @@ def test_fri_single(pcs, rng):
     _run_protocol(pcs, rng, [[3]])
 
 
+@pytest.mark.slow
 def test_fri_many_equal(pcs, rng):
     _run_protocol(pcs, rng, [[2] * 3])
 
 
+@pytest.mark.slow
 def test_fri_many_different(pcs, rng):
     _run_protocol(pcs, rng, [[3, 4]])
 
 
+@pytest.mark.slow
 def test_fri_many_different_rev(pcs, rng):
     _run_protocol(pcs, rng, [[4, 3]])
 
 
+@pytest.mark.slow
 def test_fri_multiple_rounds(pcs, rng):
     _run_protocol(pcs, rng, [[3], [2]])
     _run_protocol(pcs, rng, [[2, 3], [3]])
 
 
+@pytest.mark.slow
 def test_fri_multi_point(pcs, rng):
     """Trace-style opening: one matrix opened at (zeta, zeta'), another
     round at (zeta) only — the uni-STARK shape."""
@@ -135,6 +140,7 @@ def test_fri_multi_point(pcs, rng):
     )
 
 
+@pytest.mark.slow
 def test_fri_tamper_rejection(pcs, rng):
     roots, dims, points, ov, proof = _run_protocol(pcs, rng, [[3, 2]])
 

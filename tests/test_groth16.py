@@ -53,6 +53,7 @@ def test_parse_wtns():
     assert limbs[0, 0] == 1  # first witness is the constant 1
 
 
+@pytest.mark.slow
 def test_groth16_prove_verify(zkey):
     from tachyon_tpu.io.zkey import parse_wtns
     from tachyon_tpu.zk.groth16.prover import CircomGroth16Prover
@@ -74,6 +75,7 @@ def test_groth16_prove_verify(zkey):
     assert not prover.verify(bad, pub)
 
 
+@pytest.mark.slow
 def test_groth16_zk_randomness(zkey):
     from tachyon_tpu.io.zkey import parse_wtns
     from tachyon_tpu.zk.groth16.prover import CircomGroth16Prover

@@ -88,7 +88,8 @@ def test_msm_all_same_scalar(rng):
 
 @pytest.mark.parametrize(
     "n",
-    [300, pytest.param(1025, marks=pytest.mark.slow)],
+    [pytest.param(300, marks=pytest.mark.slow),
+     pytest.param(1025, marks=pytest.mark.slow)],
 )
 def test_msm_sweep_path(n, rng):
     """n > MSM_NAIVE_THRESHOLD exercises the sorted suffix-sweep design
@@ -118,6 +119,7 @@ def test_msm_sweep_path(n, rng):
     assert (int(curve.F.decode(got.x)), int(curve.F.decode(got.y))) == want
 
 
+@pytest.mark.slow
 def test_msm_sweep_skewed_digits(rng):
     """all scalars equal => one bucket holds every point (max segment).
     n matches test_msm_sweep_path so the XLA graph is compiled once."""
