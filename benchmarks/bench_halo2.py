@@ -31,8 +31,10 @@ def main():
     k = int(os.environ.get("BENCH_HALO2_K", "14"))
     t0 = time.time()
     circuit = SimpleCircuit()
-    pk = halo2.keygen(circuit, k=k)
-    print(f"# halo2 keygen k={k}: {time.time() - t0:.1f}s", flush=True)
+    # device=True: fixed/permutation commitments + keygen IFFTs on device
+    pk = halo2.keygen(circuit, k=k, device=True)
+    print(f"# halo2 keygen k={k} (device): {time.time() - t0:.1f}s",
+          flush=True)
 
     prover = halo2.Halo2Prover(pk, backend=DeviceBackend(pk))
     circuits, insts = [circuit], [circuit.instance_columns()]

@@ -258,12 +258,16 @@ class Halo2ProvingKey:
 def keygen(circuit, k: int, tau: int = 2,
            vendor: str = "scroll",
            lookup_type: str = "halo2",
-           pcs: str = "shplonk") -> Halo2ProvingKey:
+           pcs: str = "shplonk",
+           device: bool = False) -> Halo2ProvingKey:
     """Full halo2 keygen (reference: zk/plonk/keys/key.h PreLoad,
     verifying_key.h DoLoad, proving_key.h DoLoad).
 
     circuit must provide: configure(cs) -> config;
     floor_planner(cs, n) -> planner; synthesize via planner.
+    device=True routes the fixed/permutation commitments through the
+    device MSM stack (bit-identical results; reference runs keygen
+    commits through the same kzg.h:218-240 path as proving).
     """
     n = 1 << k
     cs = ConstraintSystem()
@@ -310,8 +314,14 @@ def keygen(circuit, k: int, tau: int = 2,
             col.append(deltas[mc] * omega_pows[mr] % FR)
         permutations.append(col)
 
-    fixed_polys = [host_ifft(col, omega) for col in fixed_columns]
-    permutation_polys = [host_ifft(col, omega) for col in permutations]
+    if device:
+        from tachyon_tpu.zk.plonk.halo2_device import device_ifft_fn
+
+        ifft_fn = device_ifft_fn(n, omega)
+    else:
+        ifft_fn = lambda col: host_ifft(col, omega)  # noqa: E731
+    fixed_polys = [ifft_fn(col) for col in fixed_columns]
+    permutation_polys = [ifft_fn(col) for col in permutations]
 
     # row-selector polys (reference: proving_key.h DoLoad l_first/l_last/
     # l_active_row)
@@ -320,12 +330,18 @@ def keygen(circuit, k: int, tau: int = 2,
     l_last_e = [0] * n
     l_last_e[usable] = 1
     l_active_e = [1 if i < usable else 0 for i in range(n)]
-    l_first = host_ifft(l_first_e, omega)
-    l_last = host_ifft(l_last_e, omega)
-    l_active_row = host_ifft(l_active_e, omega)
+    l_first = ifft_fn(l_first_e)
+    l_last = ifft_fn(l_last_e)
+    l_active_row = ifft_fn(l_active_e)
 
-    fixed_commitments = [kzg.commit(po) for po in fixed_polys]
-    permutation_commitments = [kzg.commit(po) for po in permutation_polys]
+    if device:
+        from tachyon_tpu.zk.plonk.halo2_device import device_committer
+
+        commit = device_committer(n, tau)
+    else:
+        commit = kzg.commit
+    fixed_commitments = [commit(po) for po in fixed_polys]
+    permutation_commitments = [commit(po) for po in permutation_polys]
 
     def pt(cm):
         return cm if cm is not None else None
@@ -387,6 +403,23 @@ def _eval_expr(e, fixed, advice, instance, idx, rot_idx, p=FR,
             * _eval_expr(e.right, fixed, advice, instance, idx, rot_idx,
                          p, challenges) % p
     raise TypeError(e)
+
+
+def _batch_inverse(vals: list) -> list:
+    """Montgomery-trick batch inverse: ONE modexp for the whole list
+    (reference: math/base/field.h BatchInverse).  The grand-product /
+    log-derivative loops call this instead of a per-row Fermat pow — the
+    difference between O(n) 254-bit modexps and O(n) mults at k>=14."""
+    m = len(vals)
+    pref = [1] * (m + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % FR
+    acc = pow(pref[m], FR - 2, FR)
+    out = [0] * m
+    for i in range(m - 1, -1, -1):
+        out[i] = acc * pref[i] % FR
+        acc = acc * vals[i] % FR
+    return out
 
 
 def _coset_evals(coeffs: list, shift: int, omega: int, n: int) -> list:
@@ -791,7 +824,7 @@ class Halo2Prover:
                               table["instance"], r, rot_idx,
                               challenges=challenges)
 
-        def compress(exprs, table):
+        def compress_host(exprs, table):
             out = []
             for r in range(n):
                 acc = 0
@@ -799,6 +832,20 @@ class Halo2Prover:
                     acc = (acc * theta + eval_expr_table(e, table, r)) % FR
                 out.append(acc)
             return out
+
+        if hasattr(self.be, "make_compressor"):
+            # device backend: whole-column expression evaluation (bit-exact,
+            # O(n) python -> O(1) device dispatches per expression)
+            _compressors = {}
+
+            def compress(exprs, table):
+                comp = _compressors.get(id(table))
+                if comp is None:
+                    comp = self.be.make_compressor(table, challenges)
+                    _compressors[id(table)] = comp
+                return comp(exprs, theta)
+        else:
+            compress = compress_host
 
         lookup_compressed_vec = []  # [circuit][lookup] -> (A_comp, S_comp)
         # log-derivative: [circuit][lookup] -> ([A_comp per set], S_comp)
@@ -917,20 +964,29 @@ class Halo2Prover:
             last_z = 1
             zs = []
             j = 0
+            omega_pows = getattr(pk, "_omega_pows_cache", None)
+            if omega_pows is None:
+                omega_pows = [1] * n
+                for r in range(1, n):
+                    omega_pows[r] = omega_pows[r - 1] * omega % FR
+                pk._omega_pows_cache = omega_pows
             for chunk in chunks:
-                ratios = []
+                nums, dens = [], []
                 for r in range(n):
                     num_v, den_v = 1, 1
                     for cidx, col in enumerate(chunk):
                         v = table[col.kind][col.index][r]
                         dj = pk.deltas[j + cidx]
                         num_v = num_v * (
-                            (v + beta * dj % FR * pow(omega, r, FR) + gamma)
+                            (v + beta * dj % FR * omega_pows[r] + gamma)
                             % FR) % FR
                         den_v = den_v * (
                             (v + beta * pk.permutations[j + cidx][r] + gamma)
                             % FR) % FR
-                    ratios.append(num_v * pow(den_v, FR - 2, FR) % FR)
+                    nums.append(num_v)
+                    dens.append(den_v)
+                inv_dens = _batch_inverse(dens)
+                ratios = [nv * iv % FR for nv, iv in zip(nums, inv_dens)]
                 j += len(chunk)
                 z = [0] * n
                 z[0] = last_z
@@ -958,12 +1014,15 @@ class Halo2Prover:
                     # L = sum_j 1/(f_j + beta) - m/(t + beta)
                     # phi(w^{i+1}) = phi(w^i) + L(w^i) for i < usable-1;
                     # phi(w^usable) stays 0 (the sum telescopes to zero)
+                    a_invs = [_batch_inverse(
+                        [(a_comp[i] + beta) % FR for i in range(usable - 1)])
+                        for a_comp in a_comps]
+                    s_inv = _batch_inverse(
+                        [(s_comp[i] + beta) % FR for i in range(usable - 1)])
                     z = [0] * n
                     for i in range(usable - 1):
-                        l_val = 0
-                        for a_comp in a_comps:
-                            l_val += pow(a_comp[i] + beta, FR - 2, FR)
-                        l_val -= m[i] * pow(s_comp[i] + beta, FR - 2, FR)
+                        l_val = sum(ai[i] for ai in a_invs)
+                        l_val -= m[i] * s_inv[i]
                         z[i + 1] = (z[i] + l_val) % FR
                     for i in range(n - t_blind, n):
                         z[i] = rng.generate()
@@ -972,11 +1031,12 @@ class Halo2Prover:
                     continue
                 a_comp, s_comp = lookup_compressed_vec[ci][li]
                 a_p, s_p = lookup_permuted_vec[ci][li]
-                ratios = []
-                for r in range(n):
-                    num_v = (a_comp[r] + beta) * (s_comp[r] + gamma) % FR
-                    den_v = (a_p[r] + beta) * (s_p[r] + gamma) % FR
-                    ratios.append(num_v * pow(den_v, FR - 2, FR) % FR)
+                nums = [(a_comp[r] + beta) * (s_comp[r] + gamma) % FR
+                        for r in range(n)]
+                dens = [(a_p[r] + beta) * (s_p[r] + gamma) % FR
+                        for r in range(n)]
+                ratios = [nv * iv % FR
+                          for nv, iv in zip(nums, _batch_inverse(dens))]
                 z = [0] * n
                 z[0] = 1
                 for i in range(usable):
@@ -996,11 +1056,12 @@ class Halo2Prover:
             for sh in cs.shuffles:
                 a_comp = compress(sh.input_exprs, col_tables[ci])
                 s_comp = compress(sh.shuffle_exprs, col_tables[ci])
+                s_inv = _batch_inverse(
+                    [(s_comp[i] + gamma) % FR for i in range(usable)])
                 z = [0] * n
                 z[0] = 1
                 for i in range(usable):
-                    ratio = (a_comp[i] + gamma) * pow(
-                        (s_comp[i] + gamma) % FR, FR - 2, FR) % FR
+                    ratio = (a_comp[i] + gamma) * s_inv[i] % FR
                     z[i + 1] = z[i] * ratio % FR
                 for i in range(n - t_blind, n):
                     z[i] = rng.generate()
@@ -1254,10 +1315,14 @@ class Halo2Prover:
         add(("h",), combined_h, x)
         add(("random",), random_poly, x)
 
+        # the opening-proof commitments (h/q for SHPlonk, the per-point W_i
+        # for GWC) run through the SAME backend as every other commit, so a
+        # DeviceBackend keeps them on the device MSM stack
+        # (reference: kzg.h:218-240, shplonk.h:85)
         if pk.pcs == "gwc":
-            gwc_open(kzg, openings, w)
+            gwc_open(self.be, openings, w)
         else:
-            shplonk_open(kzg, openings, w)
+            shplonk_open(self.be, openings, w)
 
         return Halo2Proof(
             proof=bytes(w.proof),
@@ -1341,7 +1406,7 @@ def _lagrange_interpolate(points, values):
     return coeffs
 
 
-def shplonk_open(kzg: HostKZG, openings: list, w) -> None:
+def shplonk_open(be, openings: list, w) -> None:
     """openings: list of (poly_key, coeffs, point, eval); groups by
     (oracle, point-set), then BDFG20: h = sum_groups v^i * sum_polys y^j *
     (P - R)/Z_set; commit h; u; L = linear comb - Z_T(u) h; q = L/(X-u)
@@ -1392,7 +1457,7 @@ def shplonk_open(kzg: HostKZG, openings: list, w) -> None:
     h_poly = [0]
     for i, hp in enumerate(h_polys):
         h_poly = _poly_add(h_poly, _poly_scale(hp, pow(v, i, FR)))
-    h_cm = kzg.commit(h_poly)
+    h_cm = be.commit(h_poly)
     w.write_point(h_cm)
     u = w.squeeze_challenge()
 
@@ -1425,11 +1490,11 @@ def shplonk_open(kzg: HostKZG, openings: list, w) -> None:
     assert host_eval(l_poly, u) == 0
     q_poly = _poly_div_linear(l_poly, u)
     q_poly = _poly_scale(q_poly, pow(first_z_diff, FR - 2, FR))
-    q_cm = kzg.commit(q_poly)
+    q_cm = be.commit(q_poly)
     w.write_point(q_cm)
 
 
-def gwc_open(kzg: HostKZG, openings: list, w) -> None:
+def gwc_open(be, openings: list, w) -> None:
     """GWC19 multi-open: v challenge, group by single point (first-seen
     order), W_i = sum_j v^j (P_j - P_j(x_i)) / (X - x_i), commit each
     (reference: crypto/commitments/kzg/gwc.h:83-124)."""
@@ -1452,7 +1517,7 @@ def gwc_open(kzg: HostKZG, openings: list, w) -> None:
                 num = [(-vv) % FR]
             acc = _poly_add(acc, _poly_scale(num, pow(v, j, FR)))
         acc = _poly_div_linear(acc, pt)
-        cms.append(kzg.commit(acc))
+        cms.append(be.commit(acc))
     for cm in cms:
         w.write_point(cm)
 

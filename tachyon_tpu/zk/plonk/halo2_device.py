@@ -22,6 +22,37 @@ from tachyon_tpu.math.ntt import Radix2Domain
 from tachyon_tpu.ops import mont
 
 
+def device_ifft_fn(n: int, omega: int):
+    """Device Radix2 IFFT over the halo2 domain for keygen
+    (bit-exact; reference: proving_key.h DoLoad's batch IFFTs)."""
+    Fr = curves.bn254_fr()
+    dom = Radix2Domain(Fr, n, omega_int=omega)
+
+    def ifft(evals):
+        cf = [int(v) for v in evals] + [0] * (n - len(evals))
+        enc = Fr.encode(np.array(cf, dtype=object))
+        return [int(v) for v in np.asarray(Fr.decode(dom.ifft(enc)))]
+
+    return ifft
+
+
+def device_committer(n: int, tau: int):
+    """Standalone device KZG committer for keygen (fixed/permutation
+    commitments run through the same MSM stack as proving — reference:
+    zk/plonk/halo2/proving_key.h commits via kzg.h:218-240).  Returns
+    commit(coeffs: list[int]) -> (x, y) | None."""
+    params = kzg_mod.unsafe_setup(n, tau=tau)
+    Fr = curves.bn254_fr()
+
+    def commit(coeffs):
+        cf = [int(v) for v in coeffs] + [0] * (n - len(coeffs))
+        enc = Fr.encode(np.array(cf, dtype=object))
+        std = mont.mont_reduce(Fr.spec, enc)
+        return kzg_mod.to_int_point(kzg_mod.commit(params, std))
+
+    return commit
+
+
 class DeviceBackend:
     """Implements the HostBackend primitive surface with device kernels."""
 
@@ -52,6 +83,31 @@ class DeviceBackend:
 
     def ifft(self, evals):
         return self._decode(self.dom.ifft(self._encode(evals)))
+
+    def make_compressor(self, table, challenges):
+        """Vectorized lookup/shuffle compress over the Lagrange domain: the
+        device analog of the prover's per-row python Horner
+        (reference: lookup/halo2/prover_impl.h CompressExpressions — one
+        expression-DAG evaluation over all n rows at once; rotations are
+        rolls).  Returns fn(exprs, theta) -> list[int]."""
+        from tachyon_tpu.zk.plonk import expressions as ex_mod
+
+        F = self.Fr
+        enc = lambda cols: [self._encode(c) for c in cols]  # noqa: E731
+        ev = ex_mod.Evaluator(
+            F, enc(table["fixed"]), enc(table["advice"]),
+            enc(table["instance"]), challenges=dict(challenges),
+        )
+
+        def compress(exprs, theta):
+            theta_c = self._const(theta)
+            acc = None
+            for e in exprs:
+                v = ev.eval(e)
+                acc = v if acc is None else F.add(F.mul(acc, theta_c), v)
+            return self._decode(acc)
+
+        return compress
 
     def coset_evals(self, coeffs, shift):
         n = self.pk.n

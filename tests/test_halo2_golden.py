@@ -412,3 +412,32 @@ def test_device_backend_proof():
     insts = [c.instance_columns() for c in circuits]
     proof = prover.create_proof(circuits, insts)
     assert proof.proof == golden.proof_bytes()
+
+
+@pytest.mark.slow
+def test_device_backend_lookup_proof():
+    """device lookup compress (whole-column expression eval) + device
+    opening-proof commits must stay byte-identical to the reference golden
+    on a circuit WITH lookups."""
+    from tests.circuits_halo2 import SimpleLookupCircuit
+    from tachyon_tpu.zk.plonk.halo2_device import DeviceBackend
+
+    golden = hg.load("simple_lookup_circuit", "IsSimpleFloorPlanner")
+    pk = halo2.keygen(SimpleLookupCircuit(k=4), k=4)
+    prover = halo2.Halo2Prover(pk, backend=DeviceBackend(pk))
+    circuits = [SimpleLookupCircuit(k=4), SimpleLookupCircuit(k=4)]
+    insts = [c.instance_columns() for c in circuits]
+    proof = prover.create_proof(circuits, insts)
+    assert proof.proof == golden.proof_bytes()
+
+
+@pytest.mark.slow
+def test_device_keygen_matches_host():
+    """keygen(device=True) routes fixed/permutation commitments + IFFTs
+    through the device stack; the resulting key must be identical."""
+    pk_h = halo2.keygen(SimpleCircuit(), k=4)
+    pk_d = halo2.keygen(SimpleCircuit(), k=4, device=True)
+    assert pk_h.fixed_commitments == pk_d.fixed_commitments
+    assert pk_h.permutation_commitments == pk_d.permutation_commitments
+    assert pk_h.fixed_polys == pk_d.fixed_polys
+    assert pk_h.transcript_repr == pk_d.transcript_repr
