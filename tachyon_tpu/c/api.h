@@ -119,6 +119,14 @@ int tachyon_tpu_sp1_baby_bear_fri_prove_verify(
     uint32_t log_blowup, uint32_t num_queries, uint32_t pow_bits,
     const uint8_t* matrices, size_t matrices_len, uint8_t* out32);
 
+/* Commit-only variant for the SP1 PCS swap: coset-LDE batch + Poseidon2
+ * field-merkle-tree commitment of the matrices, no opening proof.  Same
+ * matrix stream; out32 receives the 8-u32-LE MMCS root.
+ * (reference: the commit half of vendors/sp1/src/two_adic_fri_pcs.rs) */
+int tachyon_tpu_sp1_baby_bear_fri_commit(uint32_t log_blowup,
+                                         const uint8_t* matrices,
+                                         size_t matrices_len, uint8_t* out32);
+
 #if defined(__cplusplus)
 }
 #endif

@@ -246,6 +246,55 @@ def halo2_prove(circuit_json: str) -> str:
     return proof.proof.hex()
 
 
+def _sp1_parse_and_commit(pcs, matrices_blob: bytes):
+    """u32-LE matrix stream -> (matrices, committed ProverData)."""
+    import numpy as np
+
+    F = pcs.F
+    vals = np.frombuffer(matrices_blob, dtype="<u4")
+    off = 0
+    num = int(vals[off]); off += 1
+    mats = []
+    for _ in range(num):
+        rows, cols = int(vals[off]), int(vals[off + 1])
+        off += 2
+        m = vals[off:off + rows * cols].reshape(rows, cols)
+        off += rows * cols
+        mats.append(F.encode(np.array(m, dtype=object)))
+    return mats, pcs.commit(mats)
+
+
+def _sp1_pcs(log_blowup: int, num_queries: int, pow_bits: int):
+    from tachyon_tpu.crypto import poseidon2
+    from tachyon_tpu.crypto.fri import FRIConfig, TwoAdicFRIPCS
+    from tachyon_tpu.fields import presets, extensions
+    from tachyon_tpu.math.field import PrimeField
+
+    F = PrimeField(presets.BABY_BEAR)
+    return TwoAdicFRIPCS(
+        F, extensions.baby_bear4(), poseidon2.baby_bear_p3_w16(),
+        FRIConfig(log_blowup=log_blowup, num_queries=num_queries,
+                  proof_of_work_bits=pow_bits),
+    )
+
+
+def sp1_baby_bear_fri_commit(log_blowup: int, matrices_blob: bytes) -> bytes:
+    """Commit-only entry for the SP1 PCS swap: coset-LDE batch + Poseidon2
+    field-merkle-tree MMCS; returns the 8-u32-LE root (reference:
+    c/zk/air/sp1/baby_bear_poseidon2_two_adic_fri.cc commit path, the call
+    vendors/sp1/src/two_adic_fri_pcs.rs routes over FFI)."""
+    import struct
+
+    import numpy as np
+
+    pcs = _sp1_pcs(log_blowup, 1, 0)  # queries/pow unused for commit
+    _, data = _sp1_parse_and_commit(pcs, matrices_blob)
+    F = pcs.F
+    root = np.asarray(data.root())
+    ints = [int(F.decode(root[:, i])) for i in range(root.shape[1])]
+    return struct.pack("<8I", *ints)
+
+
 def sp1_baby_bear_fri_prove_verify(
     log_blowup: int, num_queries: int, pow_bits: int, matrices_blob: bytes,
 ) -> bytes:
@@ -264,27 +313,10 @@ def sp1_baby_bear_fri_prove_verify(
 
     from tachyon_tpu.crypto import poseidon2
     from tachyon_tpu.crypto.challenger import DuplexChallenger
-    from tachyon_tpu.crypto.fri import FRIConfig, TwoAdicFRIPCS
-    from tachyon_tpu.fields import presets, extensions
-    from tachyon_tpu.math.field import PrimeField
 
-    F = PrimeField(presets.BABY_BEAR)
-    pcs = TwoAdicFRIPCS(
-        F, extensions.baby_bear4(), poseidon2.baby_bear_p3_w16(),
-        FRIConfig(log_blowup=log_blowup, num_queries=num_queries,
-                  proof_of_work_bits=pow_bits),
-    )
-    vals = np.frombuffer(matrices_blob, dtype="<u4")
-    off = 0
-    num = int(vals[off]); off += 1
-    mats = []
-    for _ in range(num):
-        rows, cols = int(vals[off]), int(vals[off + 1])
-        off += 2
-        m = vals[off:off + rows * cols].reshape(rows, cols)
-        off += rows * cols
-        mats.append(F.encode(np.array(m, dtype=object)))
-    data = pcs.commit(mats)
+    pcs = _sp1_pcs(log_blowup, num_queries, pow_bits)
+    F = pcs.F
+    mats, data = _sp1_parse_and_commit(pcs, matrices_blob)
 
     def challenger():
         # SP1 convention: duplex rate 8 over the width-16 permutation

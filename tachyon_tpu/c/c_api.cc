@@ -213,6 +213,22 @@ int tachyon_tpu_halo2_bn254_prove(const char* circuit_json,
   return 0;
 }
 
+int tachyon_tpu_sp1_baby_bear_fri_commit(uint32_t log_blowup,
+                                         const uint8_t* matrices,
+                                         size_t matrices_len,
+                                         uint8_t* out32) {
+  if (require_init()) return -1;
+  GILGuard gil;
+  PyObject* args = Py_BuildValue(
+      "(Iy#)", log_blowup, reinterpret_cast<const char*>(matrices),
+      (Py_ssize_t)matrices_len);
+  PyObject* ret = call_bridge("sp1_baby_bear_fri_commit", args);
+  if (!ret) return -2;
+  int rc = bytes_out(ret, out32, 32);
+  Py_DECREF(ret);
+  return rc;
+}
+
 int tachyon_tpu_sp1_baby_bear_fri_prove_verify(
     uint32_t log_blowup, uint32_t num_queries, uint32_t pow_bits,
     const uint8_t* matrices, size_t matrices_len, uint8_t* out32) {

@@ -66,6 +66,12 @@ mod ffi {
             matrices_len: usize,
             out32: *mut u8,
         ) -> c_int;
+        pub fn tachyon_tpu_sp1_baby_bear_fri_commit(
+            log_blowup: u32,
+            matrices: *const u8,
+            matrices_len: usize,
+            out32: *mut u8,
+        ) -> c_int;
     }
 }
 
@@ -236,6 +242,24 @@ pub fn sp1_baby_bear_fri_prove_verify(
             log_blowup,
             num_queries,
             pow_bits,
+            matrices.as_ptr(),
+            matrices.len(),
+            out.as_mut_ptr(),
+        )
+    })?;
+    Ok(out)
+}
+
+/// Commit-only half of the SP1 PCS swap: BabyBear coset-LDE batch +
+/// Poseidon2 field-merkle-tree MMCS root (32 bytes, 8 u32 LE).
+pub fn sp1_baby_bear_fri_commit(
+    log_blowup: u32,
+    matrices: &[u8],
+) -> Result<[u8; 32]> {
+    let mut out = [0u8; 32];
+    check(unsafe {
+        ffi::tachyon_tpu_sp1_baby_bear_fri_commit(
+            log_blowup,
             matrices.as_ptr(),
             matrices.len(),
             out.as_mut_ptr(),
