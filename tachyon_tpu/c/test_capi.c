@@ -101,6 +101,39 @@ int main(void) {
   }
   tachyon_tpu_free_string(proof_hex);
 
+  /* SP1 FRI: commit-only root must equal the prove_verify roundtrip's. */
+  {
+    unsigned char mats[4 * (3 + 8 * 2)];
+    unsigned char *p = mats;
+    unsigned int header[3] = {1u, 8u, 2u}; /* 1 matrix, 8x2 */
+    for (int i = 0; i < 3; ++i) {
+      memcpy(p, &header[i], 4);
+      p += 4;
+    }
+    for (unsigned int v = 0; v < 16; ++v) {
+      unsigned int val = v * 7u + 3u;
+      memcpy(p, &val, 4);
+      p += 4;
+    }
+    unsigned char root_c[32], root_pv[32];
+    if (tachyon_tpu_sp1_baby_bear_fri_commit(1, mats, sizeof(mats),
+                                             root_c) != 0) {
+      fprintf(stderr, "sp1 commit failed: %s\n", tachyon_tpu_last_error());
+      return 1;
+    }
+    if (tachyon_tpu_sp1_baby_bear_fri_prove_verify(1, 2, 1, mats,
+                                                   sizeof(mats),
+                                                   root_pv) != 0) {
+      fprintf(stderr, "sp1 prove_verify failed: %s\n",
+              tachyon_tpu_last_error());
+      return 1;
+    }
+    if (memcmp(root_c, root_pv, 32) != 0) {
+      fprintf(stderr, "sp1 commit root != prove_verify root\n");
+      return 1;
+    }
+  }
+
   printf("OK\n");
   return 0;
 }

@@ -266,14 +266,19 @@ def _sweep_reduce(curve: SWCurve, pts: PointXYZZ, d: PointXYZZ) -> PointXYZZ:
 
 def _pack_points(px, py, pinf):
     """(L, n) x/y 16-bit limb coords + inf flags -> (L, n) packed u32 rows
-    (two limbs per word, x then y); infinity encodes as all-zero (x = y = 0
-    is never on a b != 0 short-Weierstrass curve).  Halves the bytes the
-    per-window random gather must move."""
+    (two limbs per word: low-half limb | high-half limb << 16, x then y);
+    infinity encodes as all-zero (x = y = 0 is never on a b != 0
+    short-Weierstrass curve).  Halves the bytes the per-window random
+    gather must move.  The halves packing (limb j with limb j+L/2, not
+    j with j+1) makes unpack two SLICES + a concat — layout-preserving —
+    instead of an interleaving stack/reshape that costs a cross-sublane
+    shuffle over the whole gathered array."""
     L = px.shape[0]
+    half = L // 2
     live = (pinf == 0).astype(jnp.uint32)
 
     def pack(t):
-        return (t[0::2] | (t[1::2] << 16)) * live
+        return (t[:half] | (t[half:] << 16)) * live
 
     return jnp.concatenate([pack(px), pack(py)], axis=0)
 
@@ -284,11 +289,9 @@ def _unpack_points(packed):
     half = L // 2
 
     def unpack(rows):
-        lo = rows & jnp.uint32(0xFFFF)
-        hi = rows >> 16
-        # interleave: limb 2k from lo[k], limb 2k+1 from hi[k]
-        return jnp.stack([lo, hi], axis=1).reshape(
-            (2 * half,) + rows.shape[1:])
+        # limb j = low 16 bits of word j; limb j + L/2 = high 16 bits
+        return jnp.concatenate([rows & jnp.uint32(0xFFFF), rows >> 16],
+                               axis=0)
 
     x = unpack(packed[:half])
     y = unpack(packed[half:])
@@ -309,8 +312,11 @@ def _window_sum(curve: SWCurve, px, py, pinf, dw, C, R, B, blind1, blind2,
     lead = px.shape[:-1]
     C2 = min(512, B)
     R2 = max(1, B // C2)
-    order = jnp.argsort(dw)
-    d_s = dw[order]
+    # ONE sort yields both the sorted digits and the permutation — the
+    # separate dw[order] re-gather costs ~1.5x the sort itself on TPU
+    d_s, order = jax.lax.sort_key_val(
+        dw, jnp.arange(dw.shape[0], dtype=jnp.uint32)
+    )
     idx2 = jnp.transpose(order.reshape(C, R))  # (R, C): item c*R+r
     if packed is not None:
         gp = jnp.take(packed, idx2, axis=-1)   # (L, R, C) packed
