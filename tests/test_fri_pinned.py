@@ -59,7 +59,12 @@ def _artifacts():
 
     def ints(arr):
         a = np.asarray(arr)
-        return [int(v) for v in F.decode(a).reshape(-1)]
+        L = F.spec.L
+        if a.ndim >= 2 and a.shape[0] != L and a.shape[1] == L:
+            # extension layout (D, L, ...): decode per degree component
+            return [int(v) for d in range(a.shape[0])
+                    for v in np.atleast_1d(F.decode(a[d])).reshape(-1)]
+        return [int(v) for v in np.atleast_1d(F.decode(a)).reshape(-1)]
 
     return {
         "roots": [ints(d.root()) for d in datas],
