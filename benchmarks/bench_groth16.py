@@ -38,7 +38,7 @@ def main():
           f"{time.time() - t0:.1f}s", flush=True)
     g16 = Groth16(pp)
 
-    p = pp.f.R
+    p = g16.f.R  # scalar field order (pairing module of the curve family)
     vals = [2]
     for _ in range(len(xs) - 1):
         vals.append(vals[-1] * vals[-1] % p)

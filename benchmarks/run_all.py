@@ -19,6 +19,8 @@ def main():
     for mod in (bench_msm, bench_ec, bench_ntt, bench_poseidon2, bench_fri,
                 bench_groth16, bench_halo2):
         mod.main()
+        if hasattr(mod, "main_prove"):
+            mod.main_prove()
 
 
 if __name__ == "__main__":

@@ -62,7 +62,7 @@ def main():
         return best
 
     # --- MSM weak scaling: per-shard n fixed above the sweep threshold ----
-    per_shard = 2 * MSM_NAIVE_THRESHOLD
+    per_shard = int(os.environ.get('SCALING_PER_SHARD', '64'))
     G = (int(curve.gen_x), int(curve.gen_y))
     pool = [py_mul(G, int(k), 0, curve.F.p)
             for k in rng.integers(1, 1 << 16, 32)]
@@ -79,12 +79,12 @@ def main():
             [int_to_limbs(int(k), Ls) for k in rng.integers(1, 1 << 30, m)],
             -1))
         rows["msm"][d] = timeit(
-            lambda p, s, mesh=mesh: msm_sharded(curve, mesh, p, s, c=10),
+            lambda p, s, mesh=mesh: msm_sharded(curve, mesh, p, s, c=4),
             points, sc)
         print(f"# msm d={d} n={m}: {rows['msm'][d]:.3f}s", flush=True)
 
     # --- NTT weak scaling: n = d * base ----------------------------------
-    base = 1 << 12
+    base = 1 << int(os.environ.get('SCALING_NTT_LOG', '10'))
     for d in (1, 2, 4, 8):
         mesh = data_mesh(d, platform="cpu")
         n = d * base
@@ -109,7 +109,7 @@ def main():
         eff = d * rows["msm"][1] / t
         vol = d * 4 * L_fq * 4  # d partials x XYZZ(4 coords) x L u32
         lines.append(
-            f"| msm_sharded (BN254, {per_shard}/shard, c=10) | {d} | "
+            f"| msm_sharded (BN254, {per_shard}/shard) | {d} | "
             f"{d*per_shard} | {t:.3f} | {eff:.2f} | {vol} B all_gather |")
     for d in (1, 2, 4, 8):
         t = rows["ntt"][d]

@@ -87,6 +87,36 @@ inline Fe Poseidon2Hash(const std::vector<Fe>& inputs) {
   return out;
 }
 
+// Halo2 (bn254, Scroll-compat) proof over the JSON circuit schema of
+// c/api.h; the backend proves and self-verifies, returning proof hex.
+inline std::string Halo2Prove(const std::string& circuit_json) {
+  char* hex = nullptr;
+  Check(tachyon_tpu_halo2_bn254_prove(circuit_json.c_str(), &hex));
+  std::string r(hex ? hex : "");
+  tachyon_tpu_free_string(hex);
+  return r;
+}
+
+// BabyBear Poseidon2 TwoAdicFRI commit (SP1 PCS swap): u32-LE matrix
+// stream in (see c/api.h), 8-u32-LE MMCS root out.
+inline std::array<uint8_t, 32> Sp1FriCommit(uint32_t log_blowup,
+                                            const std::vector<uint8_t>& m) {
+  std::array<uint8_t, 32> out{};
+  Check(tachyon_tpu_sp1_baby_bear_fri_commit(log_blowup, m.data(), m.size(),
+                                             out.data()));
+  return out;
+}
+
+// Full commit -> challenger-bound open -> verify roundtrip.
+inline std::array<uint8_t, 32> Sp1FriProveVerify(
+    uint32_t log_blowup, uint32_t num_queries, uint32_t pow_bits,
+    const std::vector<uint8_t>& m) {
+  std::array<uint8_t, 32> out{};
+  Check(tachyon_tpu_sp1_baby_bear_fri_prove_verify(
+      log_blowup, num_queries, pow_bits, m.data(), m.size(), out.data()));
+  return out;
+}
+
 struct Groth16Result {
   std::string proof_json;
   std::string public_json;

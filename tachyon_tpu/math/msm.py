@@ -142,18 +142,27 @@ def _blind_points(curve: SWCurve):
     """Two fixed pseudo-random curve points (and their negations) used to
     blind the Pallas sweep accumulators.  Derived from [k]G with k from a
     seeded CSPRNG -- collisions with accumulator values require guessing a
-    ~254-bit discrete log, probability ~2^-250 per MSM."""
-    F = curve.F
+    ~254-bit discrete log, probability ~2^-250 per MSM.
+
+    Built entirely from HOST numpy arrays: the result is lru_cached, so
+    any jnp value created here while tracing a jit would cache a tracer
+    and leak into the next jit (observed as UnexpectedTracerError when
+    two MSM sizes compile in one process)."""
+    spec = curve.F.spec
     rng = np.random.default_rng(
         np.frombuffer(b"tachyon-tpu-msm-blind-0001", dtype=np.uint8)
     )
+
+    def enc(v: int) -> np.ndarray:
+        return spec.encode(np.array(int(v) % spec.p, dtype=object))
+
     pts = []
     for _ in range(2):
         k = int.from_bytes(rng.bytes(40), "little") % curve.SF.p
         x, y = _host_point_mul(curve, k)
-        one = F.ones(())
-        p = PointXYZZ(F.encode(x), F.encode(y), one, one)
-        npt = PointXYZZ(p.x, F.neg(p.y), p.zz, p.zzz)
+        one = enc(1)
+        p = PointXYZZ(enc(x), enc(y), one, one)
+        npt = PointXYZZ(p.x, enc(-y), p.zz, p.zzz)
         pts.append((p, npt))
     return pts
 

@@ -251,6 +251,30 @@ static napi_value Sp1BabyBearFri(napi_env env, napi_callback_info info) {
   return out;
 }
 
+/* sp1BabyBearFriCommit(logBlowup, matrices: Buffer): Buffer(32) */
+static napi_value Sp1BabyBearFriCommit(napi_env env,
+                                       napi_callback_info info) {
+  size_t argc = 2;
+  napi_value args[2];
+  NAPI_CALL(env, napi_get_cb_info(env, info, &argc, args, NULL, NULL));
+  uint32_t log_blowup;
+  uint8_t* matrices;
+  size_t mlen;
+  if (argc < 2 ||
+      napi_get_value_uint32(env, args[0], &log_blowup) != napi_ok ||
+      get_buffer(env, args[1], &matrices, &mlen)) {
+    napi_throw_type_error(env, NULL, "expected (logBlowup, matricesBuf)");
+    return NULL;
+  }
+  napi_value out;
+  uint8_t* out_data;
+  NAPI_CALL(env, napi_create_buffer(env, 32, (void**)&out_data, &out));
+  int rc = tachyon_tpu_sp1_baby_bear_fri_commit(log_blowup, matrices, mlen,
+                                                out_data);
+  if (rc != 0) return throw_last_error(env, rc);
+  return out;
+}
+
 static napi_value ModuleInit(napi_env env, napi_value exports) {
   const napi_property_descriptor props[] = {
       {"init", NULL, Init, NULL, NULL, NULL, napi_default, NULL},
@@ -265,6 +289,8 @@ static napi_value ModuleInit(napi_env env, napi_value exports) {
       {"halo2Bn254Prove", NULL, Halo2Bn254Prove, NULL, NULL, NULL,
        napi_default, NULL},
       {"sp1BabyBearFriProveVerify", NULL, Sp1BabyBearFri, NULL, NULL, NULL,
+       napi_default, NULL},
+      {"sp1BabyBearFriCommit", NULL, Sp1BabyBearFriCommit, NULL, NULL, NULL,
        napi_default, NULL},
   };
   napi_define_properties(env, exports,
