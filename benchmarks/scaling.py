@@ -61,13 +61,16 @@ def main():
             best = min(best, time.time() - t0)
         return best
 
-    # --- MSM weak scaling: per-shard n fixed above the sweep threshold ----
+    # --- MSM weak scaling (off by default on the CPU mesh: the jnp EC
+    # scan fallback costs ~60s per msm on one core, swamping the
+    # decomposition signal; enable with SCALING_MSM=1 on real chips) ----
     per_shard = int(os.environ.get('SCALING_PER_SHARD', '64'))
+    run_msm = os.environ.get('SCALING_MSM', '')
     G = (int(curve.gen_x), int(curve.gen_y))
     pool = [py_mul(G, int(k), 0, curve.F.p)
             for k in rng.integers(1, 1 << 16, 32)]
     Ls = curve.SF.spec.L
-    for d in (1, 2, 4, 8):
+    for d in ((1, 2, 4, 8) if run_msm else ()):
         mesh = data_mesh(d, platform="cpu")
         m = d * per_shard
         pts = [pool[i % 32] for i in range(m)]
@@ -104,7 +107,7 @@ def main():
         "| kernel | d | n | wall (s) | eff vs d x wall(1) | analytic collective volume |",
         "|---|---|---|---|---|---|",
     ]
-    for d in (1, 2, 4, 8):
+    for d in ((1, 2, 4, 8) if run_msm else ()):
         t = rows["msm"][d]
         eff = d * rows["msm"][1] / t
         vol = d * 4 * L_fq * 4  # d partials x XYZZ(4 coords) x L u32
